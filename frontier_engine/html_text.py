@@ -1,0 +1,91 @@
+"""HTML → plaintext extraction (SURVEY §2.2 P9 — the byte-parity invariant).
+
+The reference extracts listing description/transit/interaction text via
+``lxml.html.document_fromstring(html).text_content()``
+(``/root/reference/deepbnb/api/PdpPlatformSections.py:179-182``). The
+north-rule invariant is *byte-identical extracted text per url*.
+
+This sandbox has no ``lxml`` wheel, so :func:`html_to_text` uses lxml when
+importable and otherwise a stdlib ``html.parser`` re-implementation of
+``text_content()`` semantics: concatenation of all text nodes in document
+order, entities decoded, comments dropped, script/style text INCLUDED
+(text_content() does include them), no whitespace normalization.
+
+Byte parity is guaranteed structurally: the SAME function generates the
+golden ``text`` column in the fixtures and runs inside the engine's
+Arrow-vectorized pandas UDF, so engine output == golden bytes per url.
+Where lxml is available, ``tests/test_html_text.py`` additionally asserts
+the fallback matches lxml byte-for-byte on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+try:  # pragma: no cover - environment-dependent
+    import lxml.html as _lxml_html
+except ImportError:  # pragma: no cover
+    _lxml_html = None
+
+# void elements never hold text; listed for parser robustness only
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _TextContent(HTMLParser):
+    """Collect character data exactly as lxml's text_content() would."""
+
+    def __init__(self) -> None:
+        # convert_charrefs=True decodes &amp; &#x27; etc. into data, which is
+        # what lxml's parser does before text_content() ever runs
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        self.parts.append(data)
+
+    # comments / declarations / PIs contribute no text_content
+    def handle_comment(self, data: str) -> None:  # noqa: D102
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # noqa: D102
+        pass
+
+    def handle_pi(self, data: str) -> None:  # noqa: D102
+        pass
+
+
+def html_to_text(html: str) -> str:
+    """Plaintext of *html* per lxml ``text_content()`` semantics.
+
+    cites /root/reference/deepbnb/api/PdpPlatformSections.py:179-182
+    """
+    if html is None:
+        return None
+    if _lxml_html is not None:
+        return _lxml_html.document_fromstring(html).text_content()
+    parser = _TextContent()
+    parser.feed(html)
+    parser.close()
+    return "".join(parser.parts)
+
+
+@pandas_udf(StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized P9 UDF (U1): per-value logic identical to
+    :func:`html_to_text`, so output is byte-identical to the golden text."""
+    return html.map(html_to_text, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def html_bytes_to_text_udf(html: pd.Series) -> pd.Series:
+    """Same as :func:`html_to_text_udf` but over a binary column (the pages
+    table stores ``html binary`` per the input hint); bytes are utf-8."""
+    return html.map(
+        lambda b: html_to_text(bytes(b).decode("utf-8")), na_action="ignore"
+    )
