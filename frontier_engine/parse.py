@@ -515,13 +515,13 @@ def amenity_ids_expr(avail: Column) -> Column:
 def find_section(sections: Column, section_id: str) -> Column:
     """PdpPlatformSections.py:105-109: `[s for s in sections if
     s['sectionId']==X][0]['section']` — FIRST match."""
-    return F.element_at(F.filter(sections, lambda s: s["sectionId"] == F.lit(section_id)), 1)["section"]
+    return F.try_element_at(F.filter(sections, lambda s: s["sectionId"] == F.lit(section_id)), F.lit(1))["section"]
 
 
 def find_component_last(sections: Column, component_type: str) -> Column:
     """P3 (airbnb.py:327-330): `.pop()` — LAST match wins."""
-    return F.element_at(
-        F.filter(sections, lambda s: s["sectionComponentType"] == F.lit(component_type)), -1
+    return F.try_element_at(
+        F.filter(sections, lambda s: s["sectionComponentType"] == F.lit(component_type)), F.lit(-1)
     )
 
 
@@ -699,18 +699,18 @@ def parse_pdp(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     avail = F.flatten(F.transform(groups, lambda g: F.filter(g["amenities"], lambda a: a["available"])))
     # 'Guest access' group (PdpPlatformSections.py:113): first matching group
     access_groups = F.filter(groups, lambda g: g["title"] == F.lit("Guest access"))
-    access_amen = F.element_at(access_groups, 1)["amenities"]
+    access_amen = F.try_element_at(access_groups, F.lit(1))["amenities"]
 
     rules_titles = F.transform(policies["houseRules"], lambda x: x["title"])  # P15
 
     # P12 detail properties: transit ← location.seeAllLocationDetails
     # ['Getting around'].content; interaction ← hostInfos['During your
     # stay'].html (PdpPlatformSections.py:174-175,200-203)
-    transit_html = F.element_at(
-        F.filter(location["seeAllLocationDetails"], lambda i: i["title"] == F.lit("Getting around")), 1
+    transit_html = F.try_element_at(
+        F.filter(location["seeAllLocationDetails"], lambda i: i["title"] == F.lit("Getting around")), F.lit(1)
     )["content"]["htmlText"]
-    interaction_html = F.element_at(
-        F.filter(host_profile["hostInfos"], lambda i: i["title"] == F.lit("During your stay")), 1
+    interaction_html = F.try_element_at(
+        F.filter(host_profile["hostInfos"], lambda i: i["title"] == F.lit("During your stay")), F.lit(1)
     )["html"]["htmlText"]
 
     rows = df.select(

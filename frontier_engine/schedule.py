@@ -1,0 +1,101 @@
+"""Per-round scheduling: priority ranking + politeness budgets
+(SURVEY §2.7 O1-O5 — the crawl-ordering core).
+
+The reference relies on its framework scheduler: a priority queue where
+equal priorities pop LIFO (depth-first order), bounded per host by
+``DOWNLOAD_DELAY``/``CONCURRENT_REQUESTS_PER_DOMAIN``
+(/root/reference/deepbnb/settings.py.dist:57-59). The reference never sets
+an explicit priority (fan-out sites airbnb.py:109-112,147,163,175) ⇒ pure
+DFO by discovery order. The engine makes that discipline explicit and
+deterministic:
+
+    priority = depth * 100 + listing_score          (deeper-first == DFO)
+    order    = (priority DESC, discovered_seq DESC) (LIFO tie-break)
+    batch    = top host_budget(crawl_delay, conc) per host
+
+Skew (north rule X13): a hot host holding 40% of the frontier would make
+one window-partition task the straggler. The ranking is therefore
+two-phase: (1) rank within (host, salt) — ``salt = pmod(url_hash,
+n_salts)`` spreads the hot host over n_salts tasks — keep the per-salt
+top ``budget`` (a salt can contribute at most the whole budget); (2)
+re-rank the ≤ n_salts × budget survivors per host. Phase 2 sees a
+bounded, tiny row count per host regardless of frontier size, so the
+final window is no longer skew-bound. Results are IDENTICAL to a naive
+single window (phase 1 never drops a row the global top-k needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from frontier_engine.config import EngineConfig
+
+
+def priority_expr(depth: Column, listing_score: Column) -> Column:
+    """f(depth, listing_score) per the north-star: deeper-first (DFO) with
+    score as the within-depth preference."""
+    return (depth.cast("double") * 100.0 + F.coalesce(listing_score, F.lit(0.0))).alias(
+        "priority"
+    )
+
+
+def host_budget_col(cfg: EngineConfig) -> Column:
+    """Vectorized twin of EngineConfig.host_budget over the joined
+    crawl_delay_s / max_concurrency columns."""
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.download_delay_s))
+    conc = F.coalesce(F.col("max_concurrency"), F.lit(cfg.concurrent_per_host))
+    per_round = F.floor(F.lit(cfg.round_seconds) / delay)
+    return F.greatest(F.lit(1), F.least(per_round, conc.cast("long"))).alias("host_budget")
+
+
+def rank_batch(pending: DataFrame, cfg: EngineConfig, salted: bool = True) -> DataFrame:
+    """Top-``host_budget`` pending URLs per host by (priority DESC,
+    discovered_seq DESC). Input must carry: host, url, priority,
+    discovered_seq, crawl_delay_s (nullable). Output adds ``rank``.
+    """
+    order = [F.desc("priority"), F.desc("discovered_seq")]
+    budget = host_budget_col(cfg)
+    df = pending.withColumn("host_budget", budget)
+
+    if salted and cfg.salt_partitions > 1:
+        # phase 1: per-(host, salt) pre-top-k — kills the hot-host straggler
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_partitions))
+        w1 = Window.partitionBy("host", "salt").orderBy(*order)
+        df = (
+            df.withColumn("salt", salt)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("host_budget"))
+            .drop("_r1", "salt")
+        )
+
+    # phase 2: exact per-host rank over the bounded survivors
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= F.col("host_budget"))
+        .drop("host_budget")
+    )
+
+
+def assign_discovered_seq(candidates: DataFrame, seq_offset: int) -> DataFrame:
+    """Deterministic global discovery sequence for a round's new candidates.
+
+    Within a round, candidates are ordered by (depth, parent_url, url) —
+    a stable, partition-independent total order — and numbered from
+    ``seq_offset``. Across rounds the offset grows monotonically, so
+    (priority DESC, discovered_seq DESC) pops newest-round-first: the
+    deterministic restatement of the framework's LIFO/DFO (SURVEY §7
+    "Deterministic ordering parity"). The simulator implements the
+    identical rule, making round batches byte-comparable.
+
+    The global window is a single-partition sort of ONE ROUND's new
+    candidates (not the whole frontier); at 10^10 scale rounds are still
+    bounded by fetch capacity, and the sort key is (int, string, string) —
+    if a round's fan-out ever exceeded one task, this becomes
+    zipWithIndex over a repartitionByRange, same semantics.
+    """
+    w = Window.orderBy("depth", "parent_url", "url")
+    return candidates.withColumn(
+        "discovered_seq", F.row_number().over(w) + F.lit(seq_offset)
+    )

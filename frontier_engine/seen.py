@@ -1,0 +1,166 @@
+"""URL-seen set: partitioned bloom shards + exact confirmation table
+(SURVEY §2.4 D1/D3, §2.8 SO2 — the core north-rule capability).
+
+The reference keeps an in-memory ``set`` of listing ids
+(/root/reference/deepbnb/spiders/airbnb.py:51,169-173) plus the framework's
+request-fingerprint dedup — both unbounded driver memory, the scalability
+wall (SURVEY §4 X14). The engine's replacement is EXACT at any scale:
+
+* ``seen_shards`` — ``(shard_id int, bits binary)``: one bloom bit-array
+  per shard, ``shard_id = pmod(url_hash, n_shards)``. Membership and merge
+  run as cogrouped ``applyInPandas`` over shard_id, so each shard's bits
+  meet exactly the candidate rows that could hit it — no broadcast of the
+  full filter, no driver state. At the 10^10 design point: 10^10 keys ×
+  10 bits ≈ 12.5 GB of bits across 1024 shards ≈ 12 MB/shard — one Arrow
+  batch per task.
+* ``seen_exact`` — ``(url_hash long, canon_url string)``: bloom POSITIVES
+  (a tiny fraction: true dups + FPR·new) are confirmed against this table
+  with an anti-join; bloom NEGATIVES are definitely-new and skip the join
+  entirely. Net semantics = exact set membership; the bloom only prunes
+  join traffic, so crawl ordering matches the reference's exact dedup.
+
+Bit indexing uses Kirsch-Mitzenmacher double hashing from the single
+64-bit ``xxhash64(canon_url)`` the frontier already carries — no extra
+hashing pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SHARD_SCHEMA = T.StructType(
+    [T.StructField("shard_id", T.IntegerType()), T.StructField("bits", T.BinaryType())]
+)
+
+SEEN_EXACT_SCHEMA = T.StructType(
+    [T.StructField("url_hash", T.LongType()), T.StructField("canon_url", T.StringType())]
+)
+
+
+def empty_shards(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SHARD_SCHEMA)
+
+
+def empty_seen_exact(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SEEN_EXACT_SCHEMA)
+
+
+def _bit_positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing h1 + i*h2 (mod n_bits)."""
+    u = hashes.astype(np.uint64)
+    h1 = u % np.uint64(n_bits)
+    h2 = (u >> np.uint64(33)) | np.uint64(1)  # odd → full period
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def shard_id_col(url_hash, n_shards: int):
+    return F.pmod(url_hash, F.lit(n_shards)).cast("int")
+
+
+def bloom_check(
+    candidates: DataFrame,
+    shards: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """Return *candidates* + boolean ``maybe_seen``.
+
+    Cogrouped per shard: the shard's bit blob and its candidate rows land
+    in the same task; membership is a vectorized numpy test. Missing shard
+    → definitely unseen.
+    """
+    cand = candidates.withColumn("shard_id", shard_id_col(F.col("url_hash"), n_shards))
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def check(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return cdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if sdf.empty or sdf["bits"].iloc[0] is None:
+            return cdf.assign(maybe_seen=False)
+        bits = np.frombuffer(sdf["bits"].iloc[0], dtype=np.uint8)
+        pos = _bit_positions(cdf["url_hash"].to_numpy(np.int64), n_bits, k)
+        byte_idx = (pos >> 3).astype(np.int64)
+        mask = (1 << (pos & 7)).astype(np.uint8)
+        hit = ((bits[byte_idx] & mask) == mask).all(axis=1)
+        return cdf.assign(maybe_seen=hit)
+
+    return cand.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        check, out_schema
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    shards: DataFrame,
+    seen_exact: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """EXACT unseen subset of *candidates* (columns preserved, minus helper
+    cols). Bloom negatives pass straight through; positives are confirmed
+    with an anti-join against seen_exact (X1: dedupe strictly before fetch).
+    """
+    checked = bloom_check(candidates, shards, n_shards, n_bits, k).cache()
+    negatives = checked.where(~F.col("maybe_seen"))
+    positives = checked.where(F.col("maybe_seen"))
+    confirmed_new = positives.join(seen_exact, "url_hash", "left_anti")
+    return negatives.unionByName(confirmed_new).drop("maybe_seen", "shard_id")
+
+
+def update_shards(
+    new_urls: DataFrame,
+    shards: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """OR the hashes of *new_urls* (url_hash column) into the shard blobs.
+
+    Cogrouped merge — associative + commutative (property-tested), which is
+    what makes snapshot/resume sound (SURVEY §7 risks).
+    """
+    adds = new_urls.select("url_hash").withColumn(
+        "shard_id", shard_id_col(F.col("url_hash"), n_shards)
+    )
+
+    def merge(key, adf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        if not sdf.empty and sdf["bits"].iloc[0] is not None:
+            bits = np.frombuffer(sdf["bits"].iloc[0], dtype=np.uint8).copy()
+        else:
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        if not adf.empty:
+            pos = _bit_positions(adf["url_hash"].to_numpy(np.int64), n_bits, k)
+            byte_idx = (pos >> 3).reshape(-1).astype(np.int64)
+            masks = (1 << (pos & 7)).reshape(-1).astype(np.uint8)
+            np.bitwise_or.at(bits, byte_idx, masks)
+        return pd.DataFrame({"shard_id": [sid], "bits": [bits.tobytes()]})
+
+    return adds.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        merge, SHARD_SCHEMA
+    )
+
+
+def update_seen(
+    new_urls: DataFrame,
+    shards: DataFrame,
+    seen_exact: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Add (url_hash, canon_url) rows of *new_urls* to both structures."""
+    new_shards = update_shards(new_urls, shards, n_shards, n_bits, k)
+    new_exact = seen_exact.unionByName(
+        new_urls.select("url_hash", "canon_url")
+    ).dropDuplicates(["url_hash"])
+    return new_shards, new_exact

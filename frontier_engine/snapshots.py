@@ -1,0 +1,103 @@
+"""Icebergish snapshots: atomic per-round checkpoint + lineage + resume
+(SURVEY §2.1 S8 — a new capability; the reference keeps crawl state in
+in-memory dicts/sets, airbnb.py:48,51, and loses everything on a crash).
+
+No Iceberg jars ship in this sandbox (SURVEY §7 stack check), so this is
+a thin, API-honest stand-in with the same semantics a real catalog gives:
+
+* every round writes each state table to an immutable
+  ``<root>/<table>/snap-<n>/`` parquet directory;
+* a JSON manifest ``<root>/manifests/<n>.json`` records snapshot id,
+  parent id, and per-table/per-partition lineage (file list + row counts
+  per Spark partition);
+* ``<root>/LATEST`` is flipped by ``os.replace`` (atomic on POSIX) only
+  after all writes land — a crash mid-round resumes from the previous
+  manifest, never a torn state;
+* resume = read LATEST → manifest → load tables.
+
+On a real cluster this module is swapped for Iceberg
+(``df.writeTo(...).createOrReplace()`` + snapshot ids) with no engine
+code changes — the crawler only calls ``commit``/``load_latest``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "LATEST")
+
+    def latest_id(self) -> int | None:
+        try:
+            with open(self._latest_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, snap_id: int) -> dict:
+        with open(os.path.join(self.root, "manifests", f"{snap_id}.json")) as f:
+            return json.load(f)
+
+    def commit(self, snap_id: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
+        """Write all *tables*, then atomically publish the manifest."""
+        parent = self.latest_id()
+        entry: dict = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "meta": meta or {},
+            "tables": {},
+        }
+        for name, df in tables.items():
+            path = os.path.join(self.root, name, f"snap-{snap_id}")
+            df.write.mode("overwrite").parquet(path)
+            # per-partition lineage from parquet footers — driver-side
+            # metadata reads, no Spark job
+            import pyarrow.parquet as pq
+
+            partitions = []
+            for fname in sorted(os.listdir(path)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(path, fname)
+                md = pq.ParquetFile(fpath).metadata
+                partitions.append(
+                    {"file": fname, "rows": md.num_rows, "bytes": os.path.getsize(fpath)}
+                )
+            entry["tables"][name] = {
+                "path": path,
+                "files": [p["file"] for p in partitions],
+                "partitions": partitions,
+                "rows": int(sum(p["rows"] for p in partitions)),
+            }
+        mpath = os.path.join(self.root, "manifests", f"{snap_id}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.replace(tmp, mpath)
+        ltmp = self._latest_path() + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(ltmp, self._latest_path())
+        return entry
+
+    def load(self, spark: SparkSession, snap_id: int) -> dict[str, DataFrame]:
+        man = self.manifest(snap_id)
+        return {
+            name: spark.read.parquet(info["path"]) for name, info in man["tables"].items()
+        }
+
+    def load_latest(self, spark: SparkSession) -> tuple[int | None, dict[str, DataFrame]]:
+        sid = self.latest_id()
+        if sid is None:
+            return None, {}
+        return sid, self.load(spark, sid)
