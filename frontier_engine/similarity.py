@@ -1,0 +1,136 @@
+"""Similarity search over an ``embeddings(vec_id, embedding array<float>,
+label)`` table: brute-force cosine top-k baseline + LSH-bucketed scale
+path (the ANN layer a training-data pipeline runs for near-dup /
+retrieval; public algorithms — random-hyperplane LSH, Charikar 2002).
+
+Scale notes:
+* brute-force: one scan, no shuffle for a single query (the query vector
+  is a literal folded into codegen); top-k via a single ORDER BY LIMIT k
+  (Spark executes as per-partition TakeOrdered + driver merge — no sort
+  of the full table);
+* LSH: random-hyperplane signatures bucket vectors; per-bucket
+  brute-force turns O(n) per query into O(n / 2^bits) expected. The
+  hyperplanes derive from xxhash64 so they're deterministic (no RNG at
+  runtime) and identically computable in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frontier_engine.hashing import xxhash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (the correctness baseline)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from xxhash64."""
+    vals = [
+        (xxhash64(f"plane-{plane_idx}-dim-{d}") % 20001 - 10000) / 10000.0
+        for d in range(dim)
+    ]
+    s = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / s for v in vals]
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = F.when(dot(_as_double(vec), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10, n_planes: int = 8,
+    probe_hamming: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    *probe_hamming* bit flips of the query's bucket (multi-probe LSH).
+    Same output schema as brute_force_topk."""
+    dim = len(query)
+    q_sig = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            q_sig |= 1 << p
+    probes = {q_sig}
+    if probe_hamming >= 1:
+        probes |= {q_sig ^ (1 << p) for p in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            q_sig ^ (1 << p1) ^ (1 << p2)
+            for p1 in range(n_planes)
+            for p2 in range(p1 + 1, n_planes)
+        }
+
+    bucketed = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), dim, n_planes))
+    cand = bucketed.where(F.col("_sig").isin(list(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_topk_per_label(
+    embeddings: DataFrame, k: int = 3, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid top-k: for each label, the k vectors closest to
+    the label centroid (a bounded, shuffle-efficient 'cluster exemplars'
+    op: one groupBy for centroids + broadcast join back)."""
+    from pyspark.sql import Window
+
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
+    centroids = (
+        embeddings.select(label_col, F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
+        .groupBy(label_col, "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(label_col, F.transform("pairs", lambda p: p["m"]).alias("centroid"))
+    )
+    joined = embeddings.join(F.broadcast(centroids), label_col)
+    scored = joined.select(
+        label_col,
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), F.col("centroid")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

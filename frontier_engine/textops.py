@@ -1,0 +1,308 @@
+"""Large-scale text operators for training-data pipelines over a
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+These extend the crawl engine with the dedup/quality stages a web-corpus
+pipeline runs after crawling (the reference stops at per-item dedup,
+pipelines.py:187-201; these are the corpus-level generalizations). All
+built from public algorithms: MinHash/LSH (Broder 1997), SimHash
+(Charikar 2002), n-gram Jaccard, stopword-ratio language ID / quality
+heuristics (C4/Gopher-style filters).
+
+Design notes for 100 TB:
+* everything is expression-only (no Python) except nothing — even
+  shingling/minhash use built-in hash/transform/aggregate, staying in
+  whole-stage codegen;
+* minhash_signatures computes K hash functions per shingle via
+  ``xxhash64(concat(shingle, seed_i))`` then min-aggregates — one shuffle
+  (groupBy doc) regardless of K;
+* LSH banding turns all-pairs O(n²) into per-bucket joins; candidate
+  pairs are verified with exact Jaccard so output has no false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# deterministic shingles + exact dedup
+# --------------------------------------------------------------------------
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical form dedup hashes."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per normalized text.
+    Hash-groupBy — one shuffle on xxhash64(text), no full-text comparison
+    network (hash collisions at 64 bits are ignorable at 10^10 docs; a
+    second xxhash64 with different seed column can be added for paranoia).
+    """
+    return (
+        docs.withColumn("_norm", normalized_text(F.col(text_col)))
+        .groupBy(F.xxhash64("_norm").alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>)."""
+    words = F.split(normalized_text(col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def char_set(col: Column) -> Column:
+    return F.array_distinct(F.split(normalized_text(col), ""))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) — min over shingles of K keyed
+    xxhash64 functions. Explode+groupBy keeps it one shuffle; the K hashes
+    are computed inside codegen per shingle row."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#seed{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: docs sharing any band bucket become a candidate pair
+    (id_a < id_b). Self-join per bucket — each bucket is tiny for
+    non-pathological corpora; pathological buckets are exactly the
+    near-dup clusters we're hunting."""
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard ≥ threshold."""
+    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-verify near-dup pipeline. No false positives
+    (exact verify); recall governed by the (bands, rows) S-curve."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_pairs(docs, cands, text_col, id_col, shingle_n, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _bit_mask(b: int) -> int:
+    """Signed-64 literal for bit b (bit 63 is the sign bit)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word-token hashes: explode tokens, one
+    groupBy(doc) with 64 ±1-vote sums (map-side partial agg — one shuffle),
+    then recompose the signature from vote signs. Everything JVM-side."""
+    toks = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 1)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    g = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(_bit_mask(b)).cast("long")).otherwise(0)
+    return g.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded on 4×16-bit
+    chunks (two equal chunks guaranteed when distance ≤ 3 of 64 bits —
+    pigeonhole gives ≥1 equal chunk for ≤3 flips over 4 chunks)."""
+    sh = simhash(docs, id_col=id_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    chunks = sh.select(id_col, "simhash", F.explode(chunk_structs).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint
+# --------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " de ", " que ", " los "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of *needle* via the length-difference trick — identical
+    arithmetic is expressible in ANSI SQL for the DuckDB oracle."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), normalized_text(text_col), F.lit(" "))
+    return {
+        lang: sum((_count_occurrences(padded, m) for m in markers), F.lit(0.0)).cast("double")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: argmax over per-language marker counts,
+    'und' when no marker hits. Deterministic tie-break: higher count wins,
+    then lexicographic language code (greatest(struct) semantics)."""
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(
+        *[F.struct(c.alias("score"), F.lit(lang).alias("lang")) for lang, c in sorted(scores.items(), reverse=True)]
+    )
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(f"score_{lang}") for lang, c in sorted(scores.items())],
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style quality features + composite score, all expression
+    arithmetic (SQL-mirrorable)."""
+    t = F.col(text_col)
+    norm = normalized_text(t)
+    n_chars = F.length(norm)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
+    stop_hits = sum(
+        (_count_occurrences(F.concat(F.lit(" "), norm, F.lit(" ")), m) for m in LANG_MARKERS["en"]),
+        F.lit(0.0),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words.cast("double"), F.lit(1.0)), 6).alias("stopword_ratio"),
+        (
+            (n_words >= 5) & (mean_word_len >= 2) & (mean_word_len <= 12)
+        ).alias("passes_quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword proxy (alnum runs + punct)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("regex_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: xxhash64 chained over 64-char
+    blocks (rolling-hash flavor, expression-only via aggregate)."""
+    norm = normalized_text(F.col(text_col))
+    n_blocks = F.greatest(F.ceil(F.length(norm) / 64).cast("int"), F.lit(1))
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm, i * 64 + 1, 64)
+    )
+    fp = F.aggregate(
+        blocks,
+        F.lit(0).cast("long"),
+        lambda acc, b: F.xxhash64(F.concat(acc.cast("string"), F.lit("|"), b)),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
