@@ -2,96 +2,134 @@
 
 The reference builds URLs with
 ``urlunparse(['https', 'www.airbnb.com', path, None, urlencode(query), None])``
-(``/root/reference/deepbnb/api/ApiBase.py:20-25``) and relies on Scrapy's
-framework request-fingerprint dedup, which canonicalizes the URL (sorted
-query params, no fragment, normalized case/ports) before hashing. This
-module re-expresses that contract:
+(``/root/reference/deepbnb/api/ApiBase.py:20-25``) and relies on its
+framework's request-fingerprint dedup, which canonicalizes before hashing
+(sorted query params, no fragment, normalized case/ports).
 
-* :func:`canonicalize` — a pure, idempotent Python function (property-tested
-  with hypothesis: ``canon(canon(u)) == canon(u)``).
-* :func:`canonicalize_udf` — the same function as an Arrow-vectorized
-  pandas UDF for use on a ``url`` column (U1).
-* :func:`with_canon_columns` — attaches ``canon_url``, ``host``,
-  ``url_hash`` (JVM-side ``xxhash64`` over the canon string — stays in
-  whole-stage codegen; no Python in the hashing hot path).
+The engine's canonical form is defined so it is computable ENTIRELY in
+JVM expressions (whole-stage codegen — zero Python in the 10^10-URL hot
+path):
 
-At 10^10-frontier scale the canon string is computed once at discovery
-time and carried as a frontier column; all downstream dedupe/joins key on
-the 64-bit ``url_hash`` (collision expectation at 10^10 keys ≈
-10^20/2^65 ≈ 0.003 — negligible, and the exact-confirm table stores the
-full canon string anyway).
+* scheme and host lowercased; default port (http:80 / https:443) dropped
+* fragment dropped; empty path → '/'
+* query split on '&' and sorted lexicographically by the raw 'k=v' pair
+  (deterministic, expression-computable; differs from a parse/re-encode
+  canonicalizer only for exotic percent-encoding mixes, which the engine
+  treats as distinct URLs — a documented, consistent choice)
+
+:func:`canonicalize` is the byte-exact pure-Python twin used by the
+crawl-ordering simulator and property tests (idempotence; twin equality
+vs the Spark expression on the fixture corpus).
+
+``url_hash = xxhash64(canon_url)`` — JVM-side; collision expectation at
+10^10 keys ≈ 0.003 across the corpus, and the exact-confirm table stores
+the full canon string anyway.
 """
 
 from __future__ import annotations
 
-from urllib.parse import parse_qsl, quote, unquote, urlencode, urlsplit, urlunsplit
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
-_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
-
-# characters we keep un-escaped in paths (RFC 3986 pchar minus %)
-_PATH_SAFE = "/;:@&=+$,!*'()~-._"
-_QUERY_SAFE = ";:@&=+$,!*'()~-._"
-
-
-def _norm_netloc(scheme: str, netloc: str) -> str:
-    """Lowercase host, strip default port, keep userinfo untouched."""
-    userinfo, sep, hostport = netloc.rpartition("@")
-    hostport = hostport.lower()
-    host, _, port = hostport.partition(":")
-    if port and _DEFAULT_PORTS.get(scheme) == port:
-        hostport = host
-    elif port:
-        hostport = f"{host}:{port}"
-    else:
-        hostport = host
-    return f"{userinfo}{sep}{hostport}" if sep else hostport
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def canonicalize(url: str) -> str:
-    """Canonical form of *url*: lowercase scheme+host, default port removed,
-    fragment stripped, query keys sorted (stable within a key), consistent
-    percent-encoding, empty path → '/'.
-
-    Idempotent; mirrors the canonical-before-fingerprint discipline the
-    reference inherits from its framework dedup filter (SURVEY §2.4 D3).
-    """
+    """Pure-Python twin of :func:`canonicalize_expr` (same bytes out)."""
     if url is None:
         return None
     url = url.strip()
-    parts = urlsplit(url)
-    scheme = parts.scheme.lower()
-    netloc = _norm_netloc(scheme, parts.netloc)
-    path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
-    # sorted(key) stable sort keeps duplicate-key order (matches w3lib-style
-    # canonicalization the framework fingerprint uses)
-    pairs = parse_qsl(parts.query, keep_blank_values=True)
-    query = urlencode(sorted(pairs, key=lambda kv: kv[0]), safe=_QUERY_SAFE, quote_via=quote)
-    return urlunsplit((scheme, netloc, path, query, ""))
+    # fragment off first
+    url = url.split("#", 1)[0]
+    if "://" not in url:
+        return url
+    scheme, _, rest = url.partition("://")
+    scheme = scheme.lower()
+    sep = len(rest)
+    for ch in "/?":
+        i = rest.find(ch)
+        if i != -1:
+            sep = min(sep, i)
+    netloc, tail = rest[:sep], rest[sep:]
+    userinfo, at, hostport = netloc.rpartition("@")
+    hostport = hostport.lower()
+    host, colon, port = hostport.partition(":")
+    if colon and _DEFAULT_PORTS.get(scheme) == port:
+        hostport = host
+    netloc = f"{userinfo}@{hostport}" if at else hostport
+    # split path / query
+    path, qmark, query = tail.partition("?")
+    path = path or "/"
+    if qmark and query:
+        query = "&".join(sorted(query.split("&")))
+        return f"{scheme}://{netloc}{path}?{query}"
+    return f"{scheme}://{netloc}{path}"
 
 
 def host_of(url: str) -> str:
-    """Host (no port, no userinfo) of *url*; '' when unparseable."""
+    """Host (no port, no userinfo) of *url*, lowercased."""
     if url is None:
         return None
-    netloc = urlsplit(url.strip()).netloc
-    host = netloc.rpartition("@")[2].partition(":")[0]
-    return host.lower()
+    url = url.strip()
+    if "://" not in url:
+        return ""
+    rest = url.partition("://")[2]
+    sep = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i != -1:
+            sep = min(sep, i)
+    netloc = rest[:sep]
+    return netloc.rpartition("@")[2].partition(":")[0].lower()
 
 
-@pandas_udf(StringType())
-def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize, na_action="ignore")
+_BIG = 1 << 30
 
 
-@pandas_udf(StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(host_of, na_action="ignore")
+def canonicalize_expr(url: Column) -> Column:
+    """JVM-expression canonicalizer (codegen; no Python). Byte-equal to
+    :func:`canonicalize` — twin-tested on the fixture corpus + hypothesis."""
+    u = F.trim(url)
+    u = F.substring_index(u, "#", 1)  # strip fragment (first '#')
+    has_scheme = u.contains("://")
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substring(u, F.instr(u, "://") + 3, F.lit(_BIG))
+    # netloc = rest up to first '/' or '?'
+    netloc = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(netloc) + 1, F.lit(_BIG))
+    # hostport: after last '@', lowercased
+    hostport = F.lower(F.substring_index(netloc, "@", -1))
+    host = F.substring_index(hostport, ":", 1)
+    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1))
+    default_port = F.when(scheme == "http", "80").when(scheme == "https", "443")
+    hostport_norm = F.when(port.isNotNull() & (port == default_port), host).otherwise(hostport)
+    netloc_norm = F.when(
+        netloc.contains("@"),
+        F.concat(
+            F.substring(netloc, F.lit(1), F.length(netloc) - F.length(F.substring_index(netloc, "@", -1)) - 1),
+            F.lit("@"),
+            hostport_norm,
+        ),
+    ).otherwise(hostport_norm)
+    # path/query split on FIRST '?' (twin: tail.partition('?'))
+    path = F.substring_index(tail, "?", 1)
+    path_norm = F.when(path == "", "/").otherwise(path)
+    query = F.when(tail.contains("?"), F.substring(tail, F.length(path) + 2, F.lit(_BIG))).otherwise(
+        F.lit("")
+    )
+    query_norm = F.array_join(F.array_sort(F.split(query, "&", -1)), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), netloc_norm, path_norm,
+        F.when(query != "", F.concat(F.lit("?"), query_norm)).otherwise(F.lit("")),
+    )
+    return F.when(has_scheme, rebuilt).otherwise(u)
+
+
+def host_expr(url: Column) -> Column:
+    """JVM host extraction, lowercased (twin of :func:`host_of`)."""
+    u = F.trim(url)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    return F.lower(F.substring_index(F.substring_index(rest, "@", -1), ":", 1))
 
 
 def url_hash_col(canon_col: Column) -> Column:
@@ -100,13 +138,10 @@ def url_hash_col(canon_col: Column) -> Column:
 
 
 def with_canon_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Attach canon_url / host / url_hash to a DataFrame of raw URLs.
-
-    The two pandas UDFs run in one Python stage (Arrow-batched); the hash
-    is computed JVM-side from the canon string.
-    """
+    """Attach canon_url / host / url_hash — all JVM expressions, no Python
+    stage anywhere in frontier ingest."""
     return (
-        df.withColumn("canon_url", canonicalize_udf(F.col(url_col)))
-        .withColumn("host", host_udf(F.col(url_col)))
+        df.withColumn("canon_url", canonicalize_expr(F.col(url_col)))
+        .withColumn("host", host_expr(F.col(url_col)))
         .withColumn("url_hash", url_hash_col(F.col("canon_url")))
     )

@@ -201,11 +201,7 @@ def run_crawl(
             rnd -= 1
             break
 
-        append_output(
-            "batches",
-            batch.select(F.lit(rnd).cast("int").alias("round"), "host", "url", "rank").drop("round"),
-            rnd,
-        )
+        append_output("batches", batch.select("host", "url", "rank"), rnd)
 
         fetched, missing = fetch_batch(batch, pages)
         fetched = fetched.cache()
@@ -252,14 +248,7 @@ def run_crawl(
             append_output(name, df, rnd)
         append_output(
             "metrics",
-            round_metrics(
-                rnd,
-                batch,
-                fetched,
-                missing.withColumn("host", F.col("host")),
-                new_blocked,
-                new_rows,
-            ).drop("round"),
+            round_metrics(rnd, batch, fetched, missing, new_blocked, new_rows).drop("round"),
             rnd,
         )
 

@@ -600,6 +600,10 @@ def write_world(spec: WorldSpec, out_dir: str) -> dict[str, str]:
     frames = generate_world(spec)
     paths = {}
     for name, df in frames.items():
+        # Spark's parquet reader rejects TIMESTAMP(NANOS) — write micros
+        for col in df.columns:
+            if str(df[col].dtype).startswith("datetime64"):
+                df[col] = df[col].astype("datetime64[us]")
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
         paths[name] = path

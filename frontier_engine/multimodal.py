@@ -1,0 +1,177 @@
+"""Multimodal columns for training-data pipelines: image/audio/video as
+opaque ``binary`` payloads + typed metadata, with decode / feature-extract
+/ resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested; the codec step is STUBBED — this container
+ships no image/audio libraries, so ``decode_media`` uses a clearly-marked
+deterministic fake (PIL/ffmpeg drop-in points are annotated). Swap
+``_decode_impl`` for a real codec on a cluster and nothing else changes.
+
+Design for 100 TB of media:
+* payloads never leave the JVM except inside the one mapInPandas stage
+  that needs the bytes (Arrow zero-copy binary columns);
+* metadata (mime, width/height, duration, codec) is extracted once at
+  ingest and stored as plain columns, so downstream filters/joins prune
+  the binary column entirely (columnar projection — the scan never reads
+  bytes unless the stage needs them);
+* frame sampling emits (media_id, frame_idx, frame binary) rows —
+  explode-shaped, so per-frame work parallelizes past per-file skew.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_s", T.DoubleType()),
+                T.StructField("codec", T.StringType()),
+            ]
+        )),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha_prefix", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
+    """STUB CODEC — deterministic fake decode.
+
+    Real deployment: replace with PIL.Image.open / soundfile / pyav here
+    (and ONLY here). The fake derives a stable 8×8 'pixel' grid from the
+    payload bytes so every downstream shape/value is reproducible and
+    testable without codec libraries.
+    """
+    h = blake2b(payload, digest_size=64).digest()
+    return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table (test/bench input)."""
+    rows = []
+    for i in range(n):
+        payload = blake2b(f"media-{i}".encode(), digest_size=32).digest() * (4 + i % 7)
+        mime = ["image/jpeg", "image/png", "audio/ogg", "video/mp4"][i % 4]
+        dur = None if mime.startswith("image") else float(1 + i % 30)
+        rows.append(
+            {
+                "media_id": i,
+                "mime": mime,
+                "payload": payload,
+                "meta": {"width": 640, "height": 480, "duration_s": dur, "codec": mime.split("/")[1]},
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+    """Decode (stub) + pooled feature vector per media row, Arrow-batched.
+
+    The UDF sees pandas batches of (media_id, mime, payload) ONLY — the
+    meta struct and any other columns are pruned before the Python stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                raw = bytes(payload)
+                grid = _decode_impl(raw, mime)  # ← real codec goes here
+                pooled = grid.mean(axis=0)  # 8 dims
+                feats = np.concatenate([pooled, grid.std(axis=1)])[:feat_dim]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(raw),
+                        "sha_prefix": blake2b(raw, digest_size=8).hexdigest(),
+                        "features": feats.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "mime", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
+    """Frame-sample video/audio rows: one output row per sampled frame.
+
+    Frame count derives from metadata (duration/every_s) WITHOUT touching
+    payload bytes — the explode is pure JVM; only the per-frame decode
+    stage (stub) reads bytes.
+    """
+    timed = media.where(F.col("meta")["duration_s"].isNotNull()).withColumn(
+        "n_frames",
+        F.greatest(F.lit(1), F.floor(F.col("meta")["duration_s"] / F.lit(every_s))).cast("int"),
+    )
+    exploded = timed.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, idx in zip(pdf["media_id"], pdf["payload"], pdf["frame_idx"]):
+                # ← real frame extraction (pyav seek+decode) goes here
+                frame = blake2b(bytes(payload) + int(idx).to_bytes(4, "big"), digest_size=48).digest()
+                out.append({"media_id": mid, "frame_idx": int(idx), "frame": frame})
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return exploded.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage (stub codec): image rows → resized payload + updated
+    meta. Schema/pruning/batching identical to the real thing."""
+    imgs = media.where(F.col("mime").startswith("image/"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                # ← real resize (PIL thumbnail + re-encode) goes here
+                resized = blake2b(
+                    bytes(payload) + f"{width}x{height}".encode(), digest_size=32
+                ).digest()
+                out.append(
+                    {
+                        "media_id": mid,
+                        "mime": mime,
+                        "payload": resized,
+                        "meta": {"width": width, "height": height, "duration_s": None, "codec": mime.split("/")[1]},
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return imgs.select("media_id", "mime", "payload").mapInPandas(run, MEDIA_SCHEMA)

@@ -97,6 +97,72 @@ def bloom_check(
     )
 
 
+def bloom_positive_hashes(
+    hashes: DataFrame, shards: DataFrame, n_shards: int, n_bits: int, k: int
+) -> DataFrame:
+    """url_hash rows that the bloom reports as maybe-seen. Only the 8-byte
+    hash column crosses the Arrow boundary — candidate payloads never
+    leave the JVM."""
+    keyed = hashes.select("url_hash").withColumn(
+        "shard_id", shard_id_col(F.col("url_hash"), n_shards)
+    )
+
+    def check(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or sdf.empty or sdf["bits"].iloc[0] is None:
+            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
+        bits = np.frombuffer(sdf["bits"].iloc[0], dtype=np.uint8)
+        pos = _bit_positions(cdf["url_hash"].to_numpy(np.int64), n_bits, k)
+        byte_idx = (pos >> 3).astype(np.int64)
+        mask = (1 << (pos & 7)).astype(np.uint8)
+        hit = ((bits[byte_idx] & mask) == mask).all(axis=1)
+        return pd.DataFrame({"url_hash": cdf["url_hash"].to_numpy(np.int64)[hit]})
+
+    return keyed.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        check, T.StructType([T.StructField("url_hash", T.LongType())])
+    )
+
+
+# broadcast the bloom bits when they fit comfortably on executors;
+# beyond this the cogrouped shard path takes over (10^10-scale: ~12.5 GB
+# of bits ⇒ cogroup; ≤10^9-frontier: broadcast wins — no shuffle at all)
+BROADCAST_BITS_MAX_BYTES = 256 * 1024 * 1024
+
+
+def bloom_positive_hashes_broadcast(
+    candidates: DataFrame, shards: DataFrame, n_shards: int, n_bits: int, k: int
+) -> DataFrame:
+    """Broadcast-mode bloom check: shard blobs ride a broadcast variable;
+    candidates are tested partition-locally in mapInPandas over ONLY the
+    hash column — zero shuffle, scales with input partitions."""
+    spark = candidates.sparkSession
+    blobs = {
+        int(r.shard_id): np.frombuffer(bytes(r.bits), dtype=np.uint8)
+        for r in shards.collect()
+        if r.bits is not None
+    }
+    bc = spark.sparkContext.broadcast(blobs)
+
+    def check(batches):
+        for pdf in batches:
+            h = pdf["url_hash"].to_numpy(np.int64)
+            sid = h % n_shards  # numpy % matches Spark pmod for negatives
+            hit = np.zeros(len(h), dtype=bool)
+            for s in np.unique(sid):
+                bits = bc.value.get(int(s))
+                if bits is None:
+                    continue
+                m = sid == s
+                pos = _bit_positions(h[m], n_bits, k)
+                byte_idx = (pos >> 3).astype(np.int64)
+                mask = (1 << (pos & 7)).astype(np.uint8)
+                hit[m] = ((bits[byte_idx] & mask) == mask).all(axis=1)
+            yield pdf[["url_hash"]][hit]
+
+    return candidates.select("url_hash").mapInPandas(
+        check, T.StructType([T.StructField("url_hash", T.LongType())])
+    )
+
+
 def filter_unseen(
     candidates: DataFrame,
     shards: DataFrame,
@@ -105,15 +171,24 @@ def filter_unseen(
     n_bits: int,
     k: int,
 ) -> DataFrame:
-    """EXACT unseen subset of *candidates* (columns preserved, minus helper
-    cols). Bloom negatives pass straight through; positives are confirmed
-    with an anti-join against seen_exact (X1: dedupe strictly before fetch).
+    """EXACT unseen subset of *candidates* (columns preserved).
+
+    Bloom positives (true dups + FPR·new) are confirmed against
+    seen_exact with a semi-join; candidates are then anti-joined against
+    the confirmed-dup hash set (X1: dedupe strictly before fetch). The
+    bloom check broadcasts the bit blobs when they fit
+    (BROADCAST_BITS_MAX_BYTES) — no shuffle — else runs the cogrouped
+    shard path. At 10^10 scale seen_exact is stored bucketed by url_hash
+    so the semi-join is storage-partitioned (no shuffle of the big
+    table); the final anti-join's right side is bounded by the round's
+    dup count.
     """
-    checked = bloom_check(candidates, shards, n_shards, n_bits, k).cache()
-    negatives = checked.where(~F.col("maybe_seen"))
-    positives = checked.where(F.col("maybe_seen"))
-    confirmed_new = positives.join(seen_exact, "url_hash", "left_anti")
-    return negatives.unionByName(confirmed_new).drop("maybe_seen", "shard_id")
+    if n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
+        positives = bloom_positive_hashes_broadcast(candidates, shards, n_shards, n_bits, k)
+    else:
+        positives = bloom_positive_hashes(candidates, shards, n_shards, n_bits, k)
+    true_dups = positives.join(seen_exact, "url_hash", "left_semi")
+    return candidates.join(true_dups, "url_hash", "left_anti")
 
 
 def update_shards(

@@ -1,0 +1,49 @@
+"""Similarity search: brute-force exactness vs numpy; LSH recall sanity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from frontier_engine import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    vecs[5] = vecs[0] * 2.0 + rng.normal(scale=0.01, size=16).astype("float32")  # near dup of 0
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [v.tolist() for v in vecs], "label": [i % 4 for i in range(300)]}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_matches_numpy(emb):
+    df, vecs = emb
+    q = vecs[0].astype("float64")
+    got = [(r.vec_id, r.cos) for r in S.brute_force_topk(df, q.tolist(), 10).collect()]
+    sims = (vecs.astype("float64") @ q) / (np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q))
+    want_ids = np.argsort(-sims)[:10]
+    assert got[0][0] == 0 and got[1][0] == 5  # self + planted near-dup
+    assert {g[0] for g in got} == set(want_ids.tolist())
+    for vid, cos in got:
+        assert abs(cos - round(float(sims[vid]), 6)) <= 1e-6
+
+
+def test_lsh_recall_at_10(emb):
+    df, vecs = emb
+    q = vecs[0].astype("float64").tolist()
+    exact = {r.vec_id for r in S.brute_force_topk(df, q, 10).collect()}
+    approx = {r.vec_id for r in S.lsh_topk(df, q, 10, n_planes=8, probe_hamming=2).collect()}
+    assert 0 in approx and 5 in approx  # the true near-dup must survive
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 2-probe
+
+
+def test_centroid_topk_shapes(emb):
+    df, _ = emb
+    out = S.all_pairs_topk_per_label(df, k=3).collect()
+    assert len(out) == 12  # 4 labels × 3
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    assert all(sorted(x["rank"] for x in v) == [1, 2, 3] for v in by_label.values())

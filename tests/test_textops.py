@@ -1,0 +1,109 @@
+"""Training-data operators: exactness vs independent Python recomputation
+(these are the rows-only queries' correctness backstop)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import textops as X
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),           # near dup
+    (3, "el rápido zorro marrón salta sobre el perro perezoso que duerme"),
+    (4, "le renard brun rapide saute par dessus le chien paresseux est une"),
+    (5, "der schnelle braune fuchs springt über den faulen hund und das ist"),
+    (6, "completely different text about databases and query engines here"),
+    (7, "  THE   Quick Brown fox JUMPS over the lazy dog  "),     # normalizes to 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _py_shingles(text, n=3):
+    import re
+
+    words = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    return {" ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 0))}
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.dup_count for r in X.exact_dedup(docs).collect()}
+    assert out[0] == 3  # 0, 1, 7 normalize identically
+    assert out[2] == 1
+
+
+def test_word_shingles_match_python(spark, docs):
+    rows = docs.select("doc_id", "text", X.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    for r in rows:
+        assert set(r.sh) == _py_shingles(r.text), r.doc_id
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0, 0], "id_b": [2, 6]}))
+    out = {(r.id_a, r.id_b): r.jaccard for r in X.jaccard_pairs(docs, pairs, threshold=0.0).collect()}
+    a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[2][1])
+    assert abs(out[(0, 2)] - len(a & b) / len(a | b)) < 1e-12
+    assert out[(0, 6)] == 0.0 or (0, 6) not in out
+
+
+def test_minhash_finds_near_dups(docs):
+    got = {(r.id_a, r.id_b) for r in X.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in got and (0, 7) in got and (1, 7) in got
+    assert (0, 2) not in got  # one word changed → jaccard 0.4 < 0.5
+    # at jaccard 0.4 the default 8×4 banding keeps candidate probability
+    # ~0.19 (the S-curve); 16×2 banding (~0.94) catches it
+    low = {
+        (r.id_a, r.id_b)
+        for r in X.minhash_dedup_pairs(docs, num_hashes=32, bands=16, threshold=0.3).collect()
+    }
+    assert (0, 2) in low
+    assert all(6 not in p for p in got)
+
+
+def test_minhash_no_false_positives(docs):
+    # every returned pair must truly exceed the threshold (exact verify)
+    for r in X.minhash_dedup_pairs(docs, threshold=0.5).collect():
+        a = _py_shingles(DOCS[r.id_a][1])
+        b = _py_shingles(DOCS[r.id_b][1])
+        assert len(a & b) / len(a | b) >= 0.5
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r.doc_id: r.simhash for r in X.simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[7]  # identical normalized text
+    ham = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[6]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in X.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 7)] == 0
+    assert all(6 not in p for p in got)
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.pred_lang for r in X.lang_id(docs).collect()}
+    assert out[0] == "en" and out[3] == "es" and out[4] == "fr" and out[5] == "de"
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in X.quality_score(docs).collect()}
+    assert q[0].n_words == 9
+    assert q[0].passes_quality
+    t = {r.doc_id: r for r in X.token_counts(docs).collect()}
+    assert t[0].ws_tokens == 9
+    assert t[7].ws_tokens == 9  # \s+ split of trimmed text
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta gamma", "gamma beta alpha"]})
+    )
+    fp = {r.doc_id: r.fingerprint for r in X.doc_fingerprint(df).collect()}
+    assert fp[0] != fp[1]
