@@ -414,6 +414,13 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_topk(e, qv, k=10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH buckets + exact verify)."""
+    from frontier_engine.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
 def q_centroid_topk(spark, sf_dir):
     """Per-label centroid exemplars (cluster top-k)."""
     from frontier_engine.similarity import all_pairs_topk_per_label
@@ -462,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "seen_bloom": q_seen_bloom,
         "lsh_ann": q_lsh_ann,
+        "embedding_near_dup": q_embedding_near_dup,
         "centroid_topk": q_centroid_topk,
     }
 

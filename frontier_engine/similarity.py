@@ -108,6 +108,52 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 12,
+    probe_hamming: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member for
+    embedded corpora): random-hyperplane LSH buckets → per-bucket pair
+    join (multi-probe: pairs whose buckets differ by ≤ probe_hamming
+    bits) → exact cosine verify ≥ threshold. No false positives; recall
+    governed by n_planes/probe_hamming (cos 0.95 ⇒ P[bit differs] ≈
+    0.10, P[≤1 of 12 differs] ≈ 0.66·… tested on planted dups)."""
+    first = embeddings.select(vec_col).limit(1).collect()
+    if not first:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cos double"
+        )
+    dim = len(first[0][0])
+    sig = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), dim, n_planes))
+    # multi-probe: emit each row under its bucket and (optionally) every
+    # 1-bit-flip bucket, so pairs within hamming ≤ probe_hamming collide
+    probes = [F.col("_sig")]
+    if probe_hamming >= 1:
+        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    exploded = sig.select(
+        F.col(id_col), F.col(vec_col), F.col("_sig"),
+        F.explode(F.array(*probes)).alias("_bucket"),
+    )
+    a = exploded.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(b, F.col("a._bucket") == F.col("b._sig"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def all_pairs_topk_per_label(
     embeddings: DataFrame, k: int = 3, id_col: str = "vec_id",
     vec_col: str = "embedding", label_col: str = "label",

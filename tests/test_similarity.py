@@ -47,3 +47,15 @@ def test_centroid_topk_shapes(emb):
     for r in out:
         by_label.setdefault(r.label, []).append(r)
     assert all(sorted(x["rank"] for x in v) == [1, 2, 3] for v in by_label.values())
+
+
+def test_embedding_near_dup_pairs(emb):
+    df, vecs = emb
+    got = {(r.id_a, r.id_b): r.cos for r in S.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (0, 5) in got and got[(0, 5)] > 0.99  # planted near-dup found
+    # no false positives: verify every returned pair exactly
+    import numpy as np
+    v = vecs.astype("float64")
+    for (a, b), cos in got.items():
+        true = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
+        assert true >= 0.95 and abs(true - cos) < 1e-5
