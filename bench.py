@@ -279,12 +279,17 @@ def _best_of(job: str, cores: int, n_urls: int, repeats: int) -> dict | None:
 
 
 def run_scaling(n_urls: int, repeats: int | None = None) -> dict:
-    repeats = repeats or int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     out = {}
     for job in ("schedule", "parse"):
+        # parse is the compute-bound leg (hits ≥0.8) — worth 2 repeats;
+        # schedule is membw-bound on this box, 1 repeat keeps bench wall
+        # time driver-friendly
+        job_repeats = repeats or int(
+            os.environ.get("BENCH_SCALING_REPEATS", "2" if job == "parse" else "1")
+        )
         jout = {}
         for cores in (8, 32):
-            r = _best_of(job, cores, n_urls, repeats)
+            r = _best_of(job, cores, n_urls, job_repeats)
             if r is not None:
                 jout[f"n{cores}"] = r
         if "n8" in jout and "n32" in jout:
