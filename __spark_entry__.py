@@ -265,6 +265,36 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch twin of
+    applyInPandasWithState-style custom stateful logic, expressed as
+    lag + cumulative sum windows (ST2-adjacent; crawl-visit sessions)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))  # integer µs both sides
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    marked = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = marked.withColumn("session_no", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            ).alias("duration_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("duration_us").cast("long").alias("max_session_us"),
+        )
+    )
+
+
 def q_adaptive_delay(spark, sf_dir):
     """ST4 AutoThrottle analog: next-round delay = clamp(5, 60,
     2·avg_latency) per host (settings.py.dist:163-169 semantics)."""
@@ -456,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_tumbling": q_events_tumbling,
         "adaptive_delay": q_adaptive_delay,
+        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -604,6 +635,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+              FROM marked
+            ), per_session AS (
+              SELECT user_id, session_no,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+              FROM sess GROUP BY user_id, session_no
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(MAX(duration_us) AS BIGINT) AS max_session_us
+            FROM per_session GROUP BY user_id
         """,
         "adaptive_delay": """
             SELECT CAST(user_id % 20 AS BIGINT) AS host_id,
