@@ -381,6 +381,64 @@ def q_ann_brute_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cos"), F.col("vec_id")).limit(10)
 
 
+def q_price_sweep(spark, sf_dir):
+    """M5: price-sliced search sweep — (min, max, increment) expands to one
+    search slice per price band (sequence+explode; airbnb.py:24-27,365-380
+    price_range semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    bands = o.groupBy("o_orderpriority").agg(
+        F.floor(F.min("o_totalprice")).cast("long").alias("pmin"),
+        F.floor(F.max("o_totalprice")).cast("long").alias("pmax"),
+    )
+    return bands.select(
+        "o_orderpriority",
+        F.explode(F.sequence(F.col("pmin"), F.col("pmax"), F.lit(50000))).alias("price_min"),
+    ).withColumn("price_max", F.col("price_min") + 50000)
+
+
+def q_region_rollup(spark, sf_dir):
+    """Hierarchical rollup region→nation (grouping-sets aggregation over
+    the broadcast dim chain)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "orders",
+            "revenue",
+        )
+    )
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Per-user moving average over the last 5 events (ROWS window —
+    the ST4 latency-smoothing shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg_5"),
+    )
+
+
 # --- rows-only (hash-based / float-accumulation ops; exactness covered in
 # tests/ against independent recomputation) ---
 
@@ -493,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "ann_brute_topk": q_ann_brute_topk,
+        "price_sweep": q_price_sweep,
+        "region_rollup": q_region_rollup,
+        "events_moving_avg": q_events_moving_avg,
         # rows-only (no oracle): hash-based / engine-specific
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -734,6 +795,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens
             FROM documents
+        """,
+        "price_sweep": """
+            WITH bands AS (
+              SELECT o_orderpriority,
+                     CAST(FLOOR(MIN(o_totalprice)) AS BIGINT) AS pmin,
+                     CAST(FLOOR(MAX(o_totalprice)) AS BIGINT) AS pmax
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   CAST(unnest(generate_series(pmin, pmax, 50000)) AS BIGINT) AS price_min,
+                   CAST(unnest(generate_series(pmin, pmax, 50000)) + 50000 AS BIGINT) AS price_max
+            FROM bands
+        """,
+        "region_rollup": """
+            SELECT COALESCE(r_name, '(all)') AS r_name, COALESCE(n_name, '(all)') AS n_name,
+                   CAST(COUNT(*) AS BIGINT) AS orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "events_moving_avg": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg_5
+            FROM events
         """,
         "ann_brute_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
