@@ -8,24 +8,28 @@ Components:
   (default /root/testdata/sf0.1), each timed to full materialization
   (noop write — no collect, no driver funnel);
 * ``schedule_round``: one full frontier scheduling round (canonicalize →
-  bloom-seen dedupe → salted priority rank → politeness cut → fetch-join)
-  over a 1M-URL synthetic frontier with 2000 hosts and a hot host — the
-  BASELINE.md "frontier-schedule" metric;
+  bloom-seen dedupe against the BUCKETED seen store → salted priority
+  rank → politeness cut → fetch-join) over a 1M-URL synthetic frontier
+  with 2000 hosts and a hot host — the BASELINE.md "frontier-schedule"
+  metric;
 * ``parse_pages``: full 4-type parse (search/PDP/reviews/landing JSON
   extraction incl. the Arrow UDFs) over a generated fixture world —
   the "parse" half of the metric;
-* scaling evidence (north rule): the same schedule_round job re-run in
-  subprocesses at local[8] (N) and local[32] (4N) on the same input;
-  efficiency = (thr32/thr8)/4, required ≥ 0.8.
-
-Extra JSON keys beyond the driver's minimum: "throughput" (urls/sec at
-full cores) and "scaling" {n8, n32, efficiency}.
+* scaling evidence (north rule, N → 4N): the same jobs re-run in
+  subprocess-isolated sessions at local[2] / local[8] / local[32] on the
+  same input. Two N→4N pairs are reported: 2→8 and 8→32, plus a
+  Spark-free hardware probe. Protocol (round-2, for cold-run
+  reproducibility — VERDICT r1 item #2): per child, one untimed warmup
+  then THREE timed in-session repetitions; the child reports the median
+  and the full list (variance visible in the JSON). Efficiency uses the
+  medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -59,13 +63,73 @@ def synth_frontier(spark, n: int):
     )
 
 
-def schedule_round(spark, n: int, workdir: str | None = None) -> dict:
-    """One frontier scheduling round over a parquet-backed frontier (the
-    realistic shape: the frontier IS a table, not driver memory).
+class ScheduleWorld:
+    """Materialized inputs for a scheduling round: frontier + pages
+    parquet, a seeded BUCKETED seen store (50% of the frontier already
+    seen — steady-state), and the matching bloom shards. Setup is
+    untimed; a steady-state crawl amortizes it."""
 
-    Timed stages: canonicalize+hash (ingest), bloom+exact dedupe, salted
-    priority rank, fetch-join. Seen-set seeding and the input write are
-    setup (a steady-state crawl amortizes them)."""
+    def __init__(self, spark, n: int, workdir: str):
+        import pyspark.sql.functions as F
+
+        from frontier_engine import seen as S
+        from frontier_engine.canon import with_canon_columns
+        from frontier_engine.config import EngineConfig
+        from frontier_engine.seen_store import SeenExactStore
+
+        self.spark = spark
+        self.n = n
+        self.cfg = EngineConfig(
+            n_seen_shards=64, bloom_bits_per_shard=1 << 23, salt_partitions=16,
+            round_seconds=1000.0, concurrent_per_host=100,
+        )
+        fr_path = f"{workdir}/frontier"
+        synth_frontier(spark, n).write.mode("overwrite").parquet(fr_path)
+        self.frontier = spark.read.parquet(fr_path)
+        pages_path = f"{workdir}/pages"
+        self.frontier.where(F.col("discovered_seq") % 10 != 0).select(
+            "url", F.lit("x").alias("text")
+        ).write.mode("overwrite").parquet(pages_path)
+        self.pages = spark.read.parquet(pages_path)
+
+        t0 = time.time()
+        seeded = with_canon_columns(self.frontier.where(F.col("discovered_seq") % 2 == 0))
+        self.store = SeenExactStore(spark, f"{workdir}/seen_store", n_buckets=64)
+        self.store.append(seeded, "seed", n_new=n // 2)  # → bucketed base
+        shards = S.update_shards(
+            self.spark.read.parquet(self.store.base_path), S.empty_shards(spark),
+            self.cfg.n_seen_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_num_hashes,
+        )
+        shards.write.mode("overwrite").parquet(f"{workdir}/shards")
+        self.shards = spark.read.parquet(f"{workdir}/shards")
+        self.t_seed_setup = round(time.time() - t0, 2)
+
+    def pipeline_once(self) -> dict:
+        """ONE end-to-end scheduling round as a single lazy plan driven by
+        one terminal action — the fewest-stages shape (cold-run-stable)."""
+        import pyspark.sql.functions as F
+
+        from frontier_engine import seen as S
+        from frontier_engine.canon import with_canon_columns
+        from frontier_engine.schedule import rank_batch
+
+        t0 = time.time()
+        cand = with_canon_columns(self.frontier)
+        unseen = S.filter_unseen(
+            cand, self.shards, self.store.parts(),
+            self.cfg.n_seen_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_num_hashes,
+        )
+        batch = rank_batch(unseen, self.cfg)
+        joined = batch.join(self.pages, "url", "left")
+        n_missing = joined.where(F.col("text").isNull()).count()
+        dt = time.time() - t0
+        return {"missing": n_missing, "sec": round(dt, 2),
+                "urls_per_sec": round(self.n / dt, 1)}
+
+
+def schedule_round(spark, n: int, workdir: str | None = None) -> dict:
+    """Staged-timing variant (headline detail): each stage driven to a
+    noop sink, inter-stage state re-fed from parquet like a real round."""
     import shutil
     import tempfile
 
@@ -73,55 +137,25 @@ def schedule_round(spark, n: int, workdir: str | None = None) -> dict:
 
     from frontier_engine import seen as S
     from frontier_engine.canon import with_canon_columns
-    from frontier_engine.config import EngineConfig
     from frontier_engine.schedule import rank_batch
 
-    cfg = EngineConfig(
-        n_seen_shards=64, bloom_bits_per_shard=1 << 23, salt_partitions=16,
-        round_seconds=1000.0, concurrent_per_host=100,
-    )
     workdir = workdir or tempfile.mkdtemp(prefix="bench-round-")
-
-    # ---- setup: materialize the raw frontier + pages tables on disk
-    fr_path = f"{workdir}/frontier"
-    synth_frontier(spark, n).write.mode("overwrite").parquet(fr_path)
-    fr = spark.read.parquet(fr_path)
-    pages_path = f"{workdir}/pages"
-    fr.where(F.col("discovered_seq") % 10 != 0).select(
-        "url", F.lit("x").alias("text")
-    ).write.mode("overwrite").parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
-
-    # Timed stages end in a noop sink: full compute + shuffle, no local-disk
-    # write in the timing (one box's SSD is a shared resource that does not
-    # model a cluster's distributed IO; writes are re-done untimed below to
-    # feed the next stage from parquet, like a real round would).
+    w = ScheduleWorld(spark, n, workdir)
+    cfg = w.cfg
 
     # ---- stage 1: canonicalize + hash (ingest path)
     cand_path = f"{workdir}/cand"
     t0 = time.time()
-    _noop(with_canon_columns(fr))
+    _noop(with_canon_columns(w.frontier))
     t_canon = time.time() - t0
-    with_canon_columns(fr).write.mode("overwrite").parquet(cand_path)
+    with_canon_columns(w.frontier).write.mode("overwrite").parquet(cand_path)
     cand = spark.read.parquet(cand_path)
 
-    # ---- setup: seed seen set with half the frontier (steady-state shape)
-    t0 = time.time()
-    shards, exact = S.update_seen(
-        cand.where(F.col("discovered_seq") % 2 == 0),
-        S.empty_shards(spark), S.empty_seen_exact(spark),
-        cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-    )
-    shards.write.mode("overwrite").parquet(f"{workdir}/shards")
-    exact.write.mode("overwrite").parquet(f"{workdir}/exact")
-    shards = spark.read.parquet(f"{workdir}/shards")
-    exact = spark.read.parquet(f"{workdir}/exact")
-    t_seed = time.time() - t0
-
-    # ---- stage 2: dedupe (bloom prefilter + exact confirm)
+    # ---- stage 2: dedupe (bloom prefilter + bucketed exact confirm)
     def mk_unseen():
         return S.filter_unseen(
-            cand, shards, exact, cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+            cand, w.shards, w.store.parts(),
+            cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
         )
 
     t0 = time.time()
@@ -141,7 +175,7 @@ def schedule_round(spark, n: int, workdir: str | None = None) -> dict:
 
     # ---- stage 4: fetch-join vs stored pages (90% coverage)
     t0 = time.time()
-    joined = batch.join(pages, "url", "left")
+    joined = batch.join(w.pages, "url", "left")
     n_missing = joined.where(F.col("text").isNull()).count()
     t_fetch = time.time() - t0
 
@@ -149,7 +183,7 @@ def schedule_round(spark, n: int, workdir: str | None = None) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
     return {
         "n": n, "unseen": n_unseen, "batch": n_batch, "missing": n_missing,
-        "t_canon": round(t_canon, 2), "t_seed_setup": round(t_seed, 2),
+        "t_canon": round(t_canon, 2), "t_seed_setup": w.t_seed_setup,
         "t_dedupe": round(t_dedupe, 2), "t_rank": round(t_rank, 2),
         "t_fetch": round(t_fetch, 2), "t_total": round(total, 2),
         "urls_per_sec": round(n / total, 1),
@@ -188,7 +222,7 @@ def _parse_world_pages(spark):
     )
 
 
-def parse_pages_bench(spark) -> dict:
+def parse_pages_bench(spark, pages=None, n=None) -> dict:
     """Full 4-type parse (from_json + HOF extraction + the html→text Arrow
     UDF) over a generated world — the parse half of the BASELINE metric.
     Embarrassingly parallel: no join, no shuffle, pure per-page work."""
@@ -196,8 +230,9 @@ def parse_pages_bench(spark) -> dict:
     from frontier_engine.config import EngineConfig
     from frontier_engine.fixtures import WorldSpec
 
-    pages = _parse_world_pages(spark).cache()
-    n = pages.count()
+    if pages is None:
+        pages = _parse_world_pages(spark).cache()
+        n = pages.count()
     spec = WorldSpec(**PARSE_WORLD)
     args = P.CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
     cfg = EngineConfig()
@@ -212,7 +247,6 @@ def parse_pages_bench(spark) -> dict:
         _noop(rows)
         _noop(cands)
     dt = time.time() - t0
-    pages.unpersist()
     return {"pages": n, "sec": round(dt, 2), "pages_per_sec": round(n / dt, 1)}
 
 
@@ -235,63 +269,69 @@ def operator_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def _scaling_child(n_cores: int, n_urls: int, job: str = "schedule") -> None:
+def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int = 3) -> None:
+    """One subprocess = one session at local[n_cores]: untimed warmup,
+    then *repeats* timed in-session runs; report median + all (the
+    cross-run variance on this box lives BETWEEN sessions — in-session
+    repeats with a warm JVM are the reproducible estimator)."""
     import tempfile
 
     from frontier_engine.session import get_spark
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")  # 8–16g sweet spot
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     spark = get_spark(app_name=f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(n_cores * 2, 16))
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    rates = []
     if job == "schedule":
-        # warm the JVM/Python workers so we measure the job, not startup
-        schedule_round(spark, 50_000, workdir=tempfile.mkdtemp(dir=shm))
-        r = schedule_round(spark, n_urls, workdir=tempfile.mkdtemp(dir=shm))
-        r["rate"] = r["urls_per_sec"]
+        world = ScheduleWorld(spark, n_urls, tempfile.mkdtemp(dir=shm))
+        world.pipeline_once()  # warmup: JIT + Python workers + broadcast
+        for _ in range(repeats):
+            rates.append(world.pipeline_once()["urls_per_sec"])
     else:
-        parse_pages_bench(spark)  # warm (builds/caches the world too)
-        r = parse_pages_bench(spark)
-        r["rate"] = r["pages_per_sec"]
+        pages = _parse_world_pages(spark).cache()
+        n = pages.count()
+        parse_pages_bench(spark, pages, n)  # warmup
+        for _ in range(repeats):
+            rates.append(parse_pages_bench(spark, pages, n)["pages_per_sec"])
+    med = statistics.median(rates)
+    r = {"rate": med, "rates": rates,
+         "spread": round((max(rates) - min(rates)) / med, 3) if med else None,
+         "cores": n_cores, "n": n_urls if job == "schedule" else None}
     print("SCALING_RESULT " + json.dumps(r))
     spark.stop()
 
 
-def _best_of(job: str, cores: int, n_urls: int, repeats: int) -> dict | None:
-    """Best-of-N: the box shows multi-minute perf swings (documented in
-    BENCH/BASELINE.md); min-time run is the least-noise estimate."""
-    best = None
-    for _ in range(repeats):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             str(cores), str(n_urls), job],
-            capture_output=True, text=True, timeout=900,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in p.stdout.splitlines():
-            if line.startswith("SCALING_RESULT "):
-                r = json.loads(line[len("SCALING_RESULT "):])
-                if best is None or r["rate"] > best["rate"]:
-                    best = r
-    return best
+def _run_child(job: str, cores: int, n_urls: int) -> dict | None:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child",
+         str(cores), str(n_urls), job],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    return None
 
 
-def run_scaling(n_urls: int, repeats: int | None = None) -> dict:
+def run_scaling(n_urls: int) -> dict:
+    """Throughput at local[2]/local[8]/local[32]; the north rule's N→4N
+    is evidenced at BOTH 2→8 (below this box's memory-bandwidth
+    saturation point — the pair that models adding executors, each of
+    which brings its own bandwidth) and 8→32 (same box, bandwidth
+    shared 4 ways — floor evidence; see hardware_ceiling)."""
     out = {}
     for job in ("schedule", "parse"):
-        # parse is the compute-bound leg (hits ≥0.8) — worth 2 repeats;
-        # schedule is membw-bound on this box, 1 repeat keeps bench wall
-        # time driver-friendly
-        job_repeats = repeats or int(
-            os.environ.get("BENCH_SCALING_REPEATS", "2" if job == "parse" else "1")
-        )
         jout = {}
-        for cores in (8, 32):
-            r = _best_of(job, cores, n_urls, job_repeats)
+        for cores in (2, 8, 32):
+            r = _run_child(job, cores, n_urls)
             if r is not None:
                 jout[f"n{cores}"] = r
+        if "n2" in jout and "n8" in jout:
+            jout["efficiency_2_8"] = round((jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
         if "n8" in jout and "n32" in jout:
             jout["efficiency"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
         out[job] = jout

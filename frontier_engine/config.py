@@ -56,6 +56,12 @@ class EngineConfig:
     n_seen_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20  # tests/local; 10^10-scale: ~1e8 bits/shard
     bloom_num_hashes: int = 7
+    # exact-confirm table bucketing (seen_store; 10^10-scale: 4096 buckets)
+    seen_exact_buckets: int = 64
+    seen_compact_ratio: float = 0.25  # deltas/base ratio that triggers a fold
+    # frontier merge-on-read: fold status log + deltas into the base when
+    # the log outgrows this fraction of the base (crawler §frontier state)
+    frontier_compact_ratio: float = 0.25
 
     # scheduling
     salt_partitions: int = 8  # within-host salt fan-out for hot-host skew (X13)

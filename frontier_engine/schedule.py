@@ -78,24 +78,78 @@ def rank_batch(pending: DataFrame, cfg: EngineConfig, salted: bool = True) -> Da
     )
 
 
-def assign_discovered_seq(candidates: DataFrame, seq_offset: int) -> DataFrame:
+def assign_discovered_seq(
+    candidates: DataFrame, seq_offset: int, n_parts: int | None = None
+) -> DataFrame:
     """Deterministic global discovery sequence for a round's new candidates.
 
     Within a round, candidates are ordered by (depth, parent_url, url) —
-    a stable, partition-independent total order — and numbered from
-    ``seq_offset``. Across rounds the offset grows monotonically, so
-    (priority DESC, discovered_seq DESC) pops newest-round-first: the
-    deterministic restatement of the framework's LIFO/DFO (SURVEY §7
-    "Deterministic ordering parity"). The simulator implements the
-    identical rule, making round batches byte-comparable.
+    a stable, partition-independent total order (the triple is unique per
+    row: canon-dedupe keeps one row per canon_url and equal urls share a
+    canon) — and numbered from ``seq_offset``. Across rounds the offset
+    grows monotonically, so (priority DESC, discovered_seq DESC) pops
+    newest-round-first: the deterministic restatement of the framework's
+    LIFO/DFO (SURVEY §7 "Deterministic ordering parity"). The simulator
+    implements the identical rule, making round batches byte-comparable.
 
-    The global window is a single-partition sort of ONE ROUND's new
-    candidates (not the whole frontier); at 10^10 scale rounds are still
-    bounded by fetch capacity, and the sort key is (int, string, string) —
-    if a round's fan-out ever exceeded one task, this becomes
-    zipWithIndex over a repartitionByRange, same semantics.
+    Scale shape (VERDICT round-1 item #5 — no single-task global sort):
+    global rank = range-partition on the key + sort within partitions +
+    per-partition offset. ``monotonically_increasing_id`` encodes
+    (partition_id << 33) + local position in iteration (= sorted) order,
+    so rank falls out of pure JVM expressions; the only extra job is a
+    map-side-aggregated per-partition count (``n_parts`` rows to the
+    driver). A 10^7-candidate round runs as ``n_parts`` parallel sorts.
     """
-    w = Window.orderBy("depth", "parent_url", "url")
-    return candidates.withColumn(
-        "discovered_seq", F.row_number().over(w) + F.lit(seq_offset)
+    return assign_discovered_seq_counted(candidates, seq_offset, n_parts)[0]
+
+
+def assign_discovered_seq_counted(
+    candidates: DataFrame, seq_offset: int, n_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """assign_discovered_seq + the round's candidate count for free (the
+    per-partition count job already totals it — saves the crawler a
+    separate count pass)."""
+    keys = ["depth", "parent_url", "url"]
+    spark = candidates.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        candidates.repartitionByRange(n_parts, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
+    # persist: the counts job and the consumer must see ONE partitioning
+    ranged = ranged.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy(
+            F.shiftright(F.col("_mid"), 33).alias("_pid")
+        ).agg(F.count("*").alias("cnt")).collect()
+    }
+    total = int(sum(counts.values()))
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        kv = []
+        for pid, off in offsets.items():
+            kv += [F.lit(int(pid)), F.lit(int(off))]
+        # try_element_at: ANSI mode makes plain element_at throw on a
+        # missing key; every pid is present, but don't couple to that
+        off_expr = F.coalesce(
+            F.try_element_at(F.create_map(*kv), F.shiftright(F.col("_mid"), 33).cast("int")),
+            F.lit(0),
+        ).cast("long")
+    else:
+        off_expr = F.lit(0).cast("long")
+    out = ranged.withColumn(
+        "discovered_seq",
+        (
+            F.lit(seq_offset).cast("long")
+            + off_expr
+            + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1)
+        ),
+    ).drop("_mid")
+    return out, total

@@ -166,7 +166,7 @@ def bloom_positive_hashes_broadcast(
 def filter_unseen(
     candidates: DataFrame,
     shards: DataFrame,
-    seen_exact: DataFrame,
+    seen_exact: DataFrame | list[DataFrame],
     n_shards: int,
     n_bits: int,
     k: int,
@@ -178,16 +178,26 @@ def filter_unseen(
     the confirmed-dup hash set (X1: dedupe strictly before fetch). The
     bloom check broadcasts the bit blobs when they fit
     (BROADCAST_BITS_MAX_BYTES) — no shuffle — else runs the cogrouped
-    shard path. At 10^10 scale seen_exact is stored bucketed by url_hash
-    so the semi-join is storage-partitioned (no shuffle of the big
-    table); the final anti-join's right side is bounded by the round's
-    dup count.
+    shard path.
+
+    *seen_exact* may be a list of table parts (seen_store.SeenExactStore:
+    a bucketBy(url_hash) base + small per-round deltas). Each part gets
+    its OWN semi-join so the bucketed base joins exchange-free — a union
+    view would erase the bucketing and re-shuffle the 0.9 TB table every
+    round (the round-1 scale-killer). The final anti-join's right side is
+    bounded by the round's dup count.
     """
     if n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
         positives = bloom_positive_hashes_broadcast(candidates, shards, n_shards, n_bits, k)
     else:
         positives = bloom_positive_hashes(candidates, shards, n_shards, n_bits, k)
-    true_dups = positives.join(seen_exact, "url_hash", "left_semi")
+    parts = seen_exact if isinstance(seen_exact, list) else [seen_exact]
+    true_dups = None
+    for part in parts:
+        dup = positives.join(part.select("url_hash"), "url_hash", "left_semi")
+        true_dups = dup if true_dups is None else true_dups.unionByName(dup)
+    if true_dups is None:
+        return candidates
     return candidates.join(true_dups, "url_hash", "left_anti")
 
 

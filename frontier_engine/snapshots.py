@@ -48,8 +48,21 @@ class SnapshotStore:
         with open(os.path.join(self.root, "manifests", f"{snap_id}.json")) as f:
             return json.load(f)
 
-    def commit(self, snap_id: int, tables: dict[str, DataFrame], meta: dict | None = None) -> dict:
-        """Write all *tables*, then atomically publish the manifest."""
+    def commit(
+        self,
+        snap_id: int,
+        tables: dict[str, DataFrame],
+        meta: dict | None = None,
+        finalize: bool = True,
+    ) -> dict:
+        """Write all *tables*; publish the manifest atomically.
+
+        With ``finalize=False`` the writes land but nothing becomes
+        visible until ``publish(entry)`` — callers that must record
+        write-derived state (delta paths, row counts) in the same
+        manifest amend ``entry`` between the two calls. A crash in the
+        gap leaves only unreferenced files (same guarantee as before).
+        """
         parent = self.latest_id()
         entry: dict = {
             "snapshot_id": snap_id,
@@ -79,6 +92,13 @@ class SnapshotStore:
                 "partitions": partitions,
                 "rows": int(sum(p["rows"] for p in partitions)),
             }
+        if finalize:
+            self.publish(entry)
+        return entry
+
+    def publish(self, entry: dict) -> None:
+        """Atomically flip LATEST to *entry* (manifest write + rename)."""
+        snap_id = entry["snapshot_id"]
         mpath = os.path.join(self.root, "manifests", f"{snap_id}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -88,7 +108,6 @@ class SnapshotStore:
         with open(ltmp, "w") as f:
             f.write(str(snap_id))
         os.replace(ltmp, self._latest_path())
-        return entry
 
     def load(self, spark: SparkSession, snap_id: int) -> dict[str, DataFrame]:
         man = self.manifest(snap_id)

@@ -292,17 +292,33 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _fingerprint_blocks(text_col: Column) -> Column:
+    norm = normalized_text(text_col)
+    n_blocks = F.greatest(F.ceil(F.length(norm) / 64).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm, i * 64 + 1, 64)
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint: xxhash64 chained over 64-char
     blocks (rolling-hash flavor, expression-only via aggregate)."""
-    norm = normalized_text(F.col(text_col))
-    n_blocks = F.greatest(F.ceil(F.length(norm) / 64).cast("int"), F.lit(1))
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm, i * 64 + 1, 64)
-    )
     fp = F.aggregate(
-        blocks,
+        _fingerprint_blocks(F.col(text_col)),
         F.lit(0).cast("long"),
         lambda acc, b: F.xxhash64(F.concat(acc.cast("string"), F.lit("|"), b)),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def doc_fingerprint_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Same chained-block fingerprint with md5 as the chain hash — md5 is
+    bit-identical across engines, which makes this variant independently
+    recomputable in ANSI SQL (the DuckDB oracle twin); the xxhash64
+    variant above stays the engine-internal fast path."""
+    fp = F.aggregate(
+        _fingerprint_blocks(F.col(text_col)),
+        F.lit("0"),
+        lambda acc, b: F.md5(F.concat(acc, F.lit("|"), b)),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))

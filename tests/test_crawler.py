@@ -116,7 +116,20 @@ def test_lineage_manifest(crawl):
     man = res.store.manifest(sid)
     assert man["snapshot_id"] == sid
     assert man["parent_id"] == sid - 1
-    for t in ("frontier", "seen_shards", "seen_exact"):
-        info = man["tables"][t]
+    # delta-shaped commits: each round writes ONLY its deltas (plus the
+    # shard blobs); full frontier/seen tables appear only at compactions
+    assert "seen_shards" in man["tables"]
+    assert ("frontier_delta" in man["tables"]) or ("frontier_base" in man["tables"])
+    for info in man["tables"].values():
         assert info["rows"] == sum(p["rows"] for p in info["partitions"])
         assert all("file" in p and "bytes" in p for p in info["partitions"])
+    # merge-on-read state is reconstructible from the manifest meta alone
+    fmeta = man["meta"]["frontier"]
+    assert fmeta["base_paths"] and isinstance(fmeta["delta_paths"], list)
+    smeta = man["meta"]["seen_exact"]
+    assert smeta["base_path"] is not None
+    # commit bytes scale with the batch, not the frontier: a non-compaction
+    # round's frontier_delta is strictly smaller than the full frontier
+    if "frontier_delta" in man["tables"]:
+        total_frontier = res.frontier.count()
+        assert man["tables"]["frontier_delta"]["rows"] < total_frontier
