@@ -14,6 +14,7 @@ compares by sorted column name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -22,6 +23,20 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# committed deterministic crawl-world fixture (fixtures.write_world,
+# seed 42) — the oracle-readable surface for the parse/assemble/pipeline
+# operator family (VERDICT r1 item #3); independent of sf_dir by design
+_FIXTURE_PAGES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "parse_world", "pages.parquet"
+)
+
+
+def _fixture_pages(spark: SparkSession) -> DataFrame:
+    from frontier_engine.canon import host_expr
+
+    return spark.read.parquet(_FIXTURE_PAGES).withColumn("host", host_expr(F.col("url")))
 
 
 # --------------------------------------------------------------------------
@@ -580,6 +595,109 @@ def q_centroid_topk(spark, sf_dir):
 
 
 # ===========================================================================
+# parse/assemble/pipeline family over the committed crawl-world fixture
+# (P4-P9, P16, F1-F8, J3/A1/A2, S4/O4 — the flagship extraction path,
+# oracle-checked via DuckDB JSON functions on the same pages.parquet)
+# ===========================================================================
+
+_PARSE_ARGS = ("2026-09-01", "2026-09-29", 9000)  # == fixtures.WorldSpec defaults
+
+
+def q_page_text_extract(spark, sf_dir):
+    """P9: html→plaintext byte parity — the engine recomputes text from the
+    raw html bytes with the Arrow UDF; the oracle returns the generator's
+    golden text column. Hash equality IS the byte-identical invariant."""
+    from frontier_engine.html_text import html_bytes_to_text_udf
+
+    pages = spark.read.parquet(_FIXTURE_PAGES)
+    return pages.select("url", html_bytes_to_text_udf(F.col("html")).alias("text"))
+
+
+def q_listings_extract(spark, sf_dir):
+    """P4/P5-P8/F8/S2: search-page JSON → per-listing projection incl. the
+    reference's price-parse quirks (lstrip-$, '$N total' regex, price-key
+    dispatch) and the monthly-price heuristic filter."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), EngineConfig()
+    )
+    return res.select(
+        "page_url",
+        "listing_id",
+        "name",
+        "city",
+        F.col("person_capacity").cast("int").alias("person_capacity"),
+        F.col("photo_count").cast("int").alias("photo_count"),
+        F.col("review_count").cast("int").alias("review_count"),
+        "room_type",
+        F.col("star_rating").cast("double").alias("star_rating"),
+        F.coalesce(F.col("price_rate").cast("int"), F.lit(-1)).alias("price_rate"),
+        "price_rate_type",
+        F.coalesce(F.col("total_price").cast("int"), F.lit(-1)).alias("total_price"),
+        F.coalesce(F.col("monthly_price_factor").cast("double"), F.lit(-1.0)).alias("monthly_price_factor"),
+        F.coalesce(F.col("weekly_price_factor").cast("double"), F.lit(-1.0)).alias("weekly_price_factor"),
+    )
+
+
+def q_reviews_assembled(spark, sf_dir):
+    """S4/O4/J3/A1/A2: offset-paginated review pages → per-listing
+    accumulation (page count, collected rows, total, max offset, rating
+    sum) — the reviews-join half of listing assembly."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = _fixture_pages(spark)
+    rows, _ = P.parse_reviews(pages.where(P.page_type_col() == "reviews"), EngineConfig())
+    rated = rows.withColumn(
+        "rating_sum",
+        F.aggregate("reviews", F.lit(0).cast("long"), lambda a, v: a + v["rating"]),
+    )
+    return rated.groupBy("listing_id").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.size("reviews")).cast("long").alias("n_reviews"),
+        F.max("reviews_total").cast("int").alias("reviews_total"),
+        F.max("offset").cast("int").alias("max_offset"),
+        F.sum("rating_sum").cast("long").alias("rating_sum"),
+    )
+
+
+def q_pipeline_filters(spark, sf_dir):
+    """D2 + F1/F2/F5/F6/F7: the item pipeline over extracted listings —
+    skip-list, property-type blacklist, min-photos, CANNOT_HAVE/MUST_HAVE
+    with the reference's bytes-repr regex quirk (matched against
+    str(field.encode('ASCII','replace')), reproduced by the oracle)."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.pipeline import apply_pipeline
+
+    cfg = EngineConfig(
+        skip_list=("10000003", "10000017"),
+        cannot_have="caf",
+        must_have="neighborhood",
+        minimum_photos=2,
+    )
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), cfg
+    )
+    listings = res.select(
+        F.col("listing_id").alias("id"),
+        F.col("page_url").alias("url"),
+        "room_and_property_type",
+        F.col("photo_count").cast("int").alias("photo_count"),
+        "name",
+        F.col("neighborhood_overview").alias("description"),
+    )
+    out = apply_pipeline(listings, cfg)
+    return out.select(
+        F.col("id").alias("listing_id"), "room_and_property_type", "photo_count"
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -617,6 +735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_sweep": q_price_sweep,
         "region_rollup": q_region_rollup,
         "events_moving_avg": q_events_moving_avg,
+        # parse/assemble/pipeline family over the committed fixture (r2)
+        "page_text_extract": q_page_text_extract,
+        "listings_extract": q_listings_extract,
+        "reviews_assembled": q_reviews_assembled,
+        "pipeline_filters": q_pipeline_filters,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -645,9 +768,118 @@ def _marker_sum_sql(lang: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# search-page item expansion over the committed fixture (shared CTE of the
+# parse-family oracles): sections filtered by component type, items
+# exploded by index — DuckDB JSON, fully independent of the Spark path
+_ITEMS_CTE = f"""
+    src AS (
+      SELECT url, text, json_extract(text, '$.data.dora.exploreV3.sections') AS secs
+      FROM read_parquet('{_FIXTURE_PAGES}')
+      WHERE url LIKE '%/api/v3/ExploreSearch%'
+    ),
+    sec AS (
+      SELECT url, json_extract(secs, '$[' || i || ']') AS sec
+      FROM src, (SELECT unnest(range(0, 16)) AS i)
+      WHERE i < json_array_length(secs)
+        AND json_extract_string(secs, '$[' || i || '].sectionComponentType')
+            = 'listings_ListingsGrid_Explore'
+    ),
+    item AS (
+      SELECT url AS page_url, json_extract(sec, '$.items[' || j || ']') AS it
+      FROM sec, (SELECT unnest(range(0, 32)) AS j)
+      WHERE j < json_array_length(sec, '$.items')
+    ),
+    fields AS (
+      SELECT page_url,
+             json_extract_string(it, '$.listing.id') AS listing_id,
+             json_extract_string(it, '$.listing.name') AS name,
+             json_extract_string(it, '$.listing.city') AS city,
+             CAST(json_extract_string(it, '$.listing.personCapacity') AS INT) AS person_capacity,
+             CAST(json_extract_string(it, '$.listing.pictureCount') AS INT) AS photo_count,
+             CAST(json_extract_string(it, '$.listing.reviewsCount') AS INT) AS review_count,
+             json_extract_string(it, '$.listing.roomType') AS room_type,
+             json_extract_string(it, '$.listing.roomAndPropertyType') AS room_and_property_type,
+             json_extract_string(it, '$.listing.neighborhoodOverview') AS description,
+             CAST(json_extract_string(it, '$.listing.starRating') AS DOUBLE) AS star_rating,
+             CAST(json_extract_string(it, '$.pricingQuote.monthlyPriceFactor') AS DOUBLE) AS monthly_price_factor,
+             CAST(json_extract_string(it, '$.pricingQuote.weeklyPriceFactor') AS DOUBLE) AS weekly_price_factor,
+             json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.qualifier') AS price_rate_type,
+             COALESCE(json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.price'),
+                      json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.discountedPrice')) AS amt,
+             json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.secondaryLine.price') AS sec_price,
+             CAST(json_extract_string(it, '$.pricingQuote.rateWithServiceFee.amount') AS DOUBLE) AS rwsf
+      FROM item
+    ),
+    kept AS (
+      -- F8 monthly-price heuristic (price_max 9000 > 1000)
+      SELECT * FROM fields
+      WHERE price_rate_type IS NULL
+         OR NOT (price_rate_type <> 'month' AND COALESCE(rwsf, 0) * 28 > 9000)
+    )
+"""
+
+# str(field.encode('ASCII','replace')) — the reference's bytes-repr quirk,
+# recomputed in SQL (fixture strings carry no quotes/backslashes, so the
+# repr is exactly b'<ascii-replaced>')
+_REPR = "lower('b''' || regexp_replace({col}, '[^\\x00-\\x7F]', '?', 'g') || '''')"
+
+
 def oracle_sql() -> dict[str, str]:
     frontier = f"WITH frontier AS ({_FRONTIER_SQL})"
     return {
+        "page_text_extract": f"""
+            SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')
+        """,
+        "listings_extract": f"""
+            WITH {_ITEMS_CTE}
+            SELECT page_url, listing_id, name, city, person_capacity, photo_count,
+                   review_count, room_type, star_rating,
+                   COALESCE(CASE WHEN price_rate_type IS NOT NULL
+                        THEN CAST(replace(regexp_replace(amt, '^\\$+', ''), ',', '') AS INT) END, -1) AS price_rate,
+                   price_rate_type,
+                   COALESCE(CASE WHEN price_rate_type IS NOT NULL THEN
+                     TRY_CAST(NULLIF(replace(
+                       CASE WHEN sec_price IS NOT NULL
+                            THEN regexp_extract(sec_price, '^\\$([0-9a-zA-Z_,]+) total', 1)
+                            ELSE regexp_extract(amt, '^\\$([0-9a-zA-Z_,]+)', 1) END,
+                       ',', ''), '') AS INT) END, -1) AS total_price,
+                   COALESCE(monthly_price_factor, -1.0) AS monthly_price_factor,
+                   COALESCE(weekly_price_factor, -1.0) AS weekly_price_factor
+            FROM kept
+        """,
+        "reviews_assembled": f"""
+            WITH r AS (
+              SELECT regexp_extract(url, 'listingId%22%3A%22([0-9]+)%22', 1) AS listing_id,
+                     COALESCE(TRY_CAST(regexp_extract(url, 'offset%22%3A([0-9]+)', 1) AS INT), 0) AS off,
+                     CAST(json_extract_string(text, '$.data.merlin.pdpReviews.metadata.reviewsCount') AS INT) AS total,
+                     json_array_length(text, '$.data.merlin.pdpReviews.reviews') AS n,
+                     COALESCE(list_aggregate(
+                       [CAST(json_extract_string(text, '$.data.merlin.pdpReviews.reviews[' || k || '].rating') AS BIGINT)
+                        FOR k IN range(0, CAST(json_array_length(text, '$.data.merlin.pdpReviews.reviews') AS BIGINT))],
+                       'sum'), 0) AS rsum
+              FROM read_parquet('{_FIXTURE_PAGES}')
+              WHERE url LIKE '%/api/v3/PdpReviews%'
+            )
+            SELECT listing_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(n) AS BIGINT) AS n_reviews,
+                   CAST(MAX(total) AS INT) AS reviews_total,
+                   CAST(MAX(off) AS INT) AS max_offset,
+                   CAST(SUM(rsum) AS BIGINT) AS rating_sum
+            FROM r GROUP BY listing_id
+        """,
+        "pipeline_filters": f"""
+            WITH {_ITEMS_CTE}
+            SELECT listing_id, room_and_property_type, photo_count
+            FROM kept
+            WHERE listing_id NOT IN ('10000003', '10000017')
+              AND NOT COALESCE(room_and_property_type IN ('Camper/RV', 'Campsite', 'Entire guest suite'), FALSE)
+              AND photo_count >= 2
+              AND NOT (COALESCE(regexp_matches({_REPR.format(col='name')}, 'caf'), FALSE)
+                       OR COALESCE(regexp_matches({_REPR.format(col='description')}, 'caf'), FALSE))
+              AND (COALESCE(regexp_matches({_REPR.format(col='name')}, 'neighborhood'), FALSE)
+                   OR COALESCE(regexp_matches({_REPR.format(col='description')}, 'neighborhood'), FALSE))
+        """,
         "frontier_rank": f"""
             {frontier}
             SELECT host, url, priority, CAST(rank AS INT) AS rank FROM (
