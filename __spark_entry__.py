@@ -697,6 +697,33 @@ def q_pipeline_filters(spark, sf_dir):
     )
 
 
+def q_neighborhoods(spark, sf_dir):
+    """P20 + A3 (airbnb.py:177-196, behind cfg): explore-tabs metadata →
+    neighborhood rows; the <300-listings gate empties small hosts, the id
+    is the FIRST neighborhood_ids param (break-on-match quirk)."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = spark.read.parquet(_FIXTURE_PAGES)
+    meta = pages.where(F.col("url").contains("/api/v2/explore_tabs"))
+    return P.extract_neighborhoods(meta, EngineConfig())
+
+
+def q_room_type_filter(spark, sf_dir):
+    """F9 (settings.py.dist:157): the optional room-type isin filter the
+    reference's setting promises (param inert there, ExploreSearch.py:181
+    — shipped here as a real filter over extracted listings)."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    cfg = EngineConfig(room_types=("Entire home/apt", "Private room"))
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), cfg
+    )
+    return res.groupBy("room_type").agg(F.count("*").cast("long").alias("n"))
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -740,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listings_extract": q_listings_extract,
         "reviews_assembled": q_reviews_assembled,
         "pipeline_filters": q_pipeline_filters,
+        "neighborhoods": q_neighborhoods,
+        "room_type_filter": q_room_type_filter,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -846,6 +875,40 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(monthly_price_factor, -1.0) AS monthly_price_factor,
                    COALESCE(weekly_price_factor, -1.0) AS weekly_price_factor
             FROM kept
+        """,
+        "neighborhoods": f"""
+            WITH m AS (
+              SELECT url AS page_url, text,
+                     CAST(json_extract_string(text, '$.explore_tabs[0].home_tab_metadata.listings_count') AS BIGINT) AS cnt,
+                     json_extract(text, '$.explore_tabs[0].home_tab_metadata.filters.sections') AS secs
+              FROM read_parquet('{_FIXTURE_PAGES}')
+              WHERE url LIKE '%/api/v2/explore_tabs%'
+            ),
+            sec AS (
+              SELECT page_url, json_extract(secs, '$[' || i || ']') AS sec
+              FROM m, (SELECT unnest(range(0, 8)) AS i)
+              WHERE cnt >= 300 AND i < json_array_length(secs)
+                AND json_extract_string(secs, '$[' || i || '].filter_section_id') = 'neighborhoods'
+            ),
+            item AS (
+              SELECT page_url, json_extract(sec, '$.items[' || j || ']') AS it
+              FROM sec, (SELECT unnest(range(0, 16)) AS j)
+              WHERE j < json_array_length(sec, '$.items')
+            )
+            SELECT page_url,
+                   json_extract_string(it, '$.title') AS neighborhood,
+                   [json_extract_string(it, '$.params[' || k || '].value')
+                    FOR k IN range(0, CAST(json_array_length(it, '$.params') AS BIGINT))
+                    IF json_extract_string(it, '$.params[' || k || '].key') = 'neighborhood_ids'][1]
+                   AS neighborhood_id
+            FROM item
+        """,
+        "room_type_filter": f"""
+            WITH {_ITEMS_CTE}
+            SELECT room_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM kept
+            WHERE room_type IN ('Entire home/apt', 'Private room')
+            GROUP BY room_type
         """,
         "reviews_assembled": f"""
             WITH r AS (

@@ -44,6 +44,13 @@ class EngineConfig:
     )
     strict_parity: bool = True
 
+    # F9 room-type filter (settings.py.dist:157; inert in the reference —
+    # the roomTypes param is commented out, ExploreSearch.py:181 — shipped
+    # here as the optional isin filter the setting promises)
+    room_types: tuple[str, ...] = ()
+    # P20/A3 neighborhood extraction gate (airbnb.py:182-183)
+    neighborhood_min_listings: int = 300
+
     # search (airbnb.py:23-27)
     currency: str = "USD"
     default_max_price: int = 3000

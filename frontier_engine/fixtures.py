@@ -454,6 +454,47 @@ def reviews_response_body(spec: WorldSpec, lid: str, offset: int, n_total: int) 
     return _jdump(body)
 
 
+def explore_tabs_url(spec: WorldSpec, host_i: int) -> str:
+    return f"https://{spec.host(host_i)}/api/v2/explore_tabs?version=1"
+
+
+def explore_tabs_body(spec: WorldSpec, host_i: int) -> str:
+    """Legacy explore-tabs metadata page (the shape `_get_neighborhoods`
+    reads, airbnb.py:177-196): listings_count gates P20/A3; one
+    neighborhoods filter section among decoys. Host 0 (the hot host)
+    clears the 300-listing gate; small hosts don't."""
+    s = spec.seed
+    n_listings = len(spec.listings_of_host(host_i)) * 10
+    items = []
+    for k in range(3):
+        items.append(
+            {
+                "title": f"Neighborhood {host_i}-{k}",
+                "params": [
+                    {"key": "place_id", "value": f"pl-{host_i}-{k}"},
+                    {"key": "neighborhood_ids", "value": str(100 * host_i + k)},
+                    {"key": "neighborhood_ids", "value": "999"},  # break-on-first quirk
+                ],
+            }
+        )
+    body = {
+        "explore_tabs": [
+            {
+                "home_tab_metadata": {
+                    "listings_count": n_listings,
+                    "filters": {
+                        "sections": [
+                            {"filter_section_id": "price_range", "items": []},
+                            {"filter_section_id": "neighborhoods", "items": items},
+                        ]
+                    },
+                }
+            }
+        ]
+    }
+    return _jdump(body)
+
+
 def robots_body(spec: WorldSpec, host_i: int) -> str:
     lines = ["User-agent: *"]
     if host_i < spec.restricted_hosts and host_i > 0:
@@ -557,6 +598,11 @@ def generate_world(spec: WorldSpec = WorldSpec()) -> dict[str, pd.DataFrame]:
                 "crawl_delay_s": 5.0 if i % 3 == 0 else 10.0,
                 "max_concurrency": 10,
             }
+        )
+        # explore-tabs metadata page (P20/A3 input; never crawled — not
+        # linked from any page, present only in the stored-pages table)
+        pages.append(
+            _page_row(spec, explore_tabs_url(spec, i), _wrap_pre(explore_tabs_body(spec, i)))
         )
         # landing
         lurl = landing_url(spec, i)

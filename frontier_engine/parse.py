@@ -646,6 +646,12 @@ def parse_search(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[Dat
         total_price_expr(pricing, has_checkin).alias("total_price"),
     )
 
+    # F9 optional room-type filter (settings.py.dist:157): inert in the
+    # reference (param never sent, ExploreSearch.py:181) — here the
+    # documented opt-in isin filter over the extracted room type
+    if cfg.room_types:
+        results = results.where(F.col("room_type").isin(list(cfg.room_types)))
+
     # --- pagination candidate (airbnb.py:155-163): re-derive request params
     # from the page URL (P19) and set itemsOffset
     req = search_request_of(F.col("page_url"))
@@ -793,3 +799,105 @@ def parse_reviews(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFram
         listing_score_expr(F.col("listing_id")).alias("listing_score"),
     )
     return rows, cands
+
+
+# --------------------------------------------------------------------------
+# P20/A3 — neighborhood extraction (dead code in the reference, ported
+# behind cfg for parity: airbnb.py:177-196)
+# --------------------------------------------------------------------------
+
+EXPLORE_TABS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "explore_tabs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "home_tab_metadata",
+                            T.StructType(
+                                [
+                                    T.StructField("listings_count", T.LongType()),
+                                    T.StructField(
+                                        "filters",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "sections",
+                                                    T.ArrayType(
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField("filter_section_id", T.StringType()),
+                                                                T.StructField(
+                                                                    "items",
+                                                                    T.ArrayType(
+                                                                        T.StructType(
+                                                                            [
+                                                                                T.StructField("title", T.StringType()),
+                                                                                T.StructField(
+                                                                                    "params",
+                                                                                    T.ArrayType(
+                                                                                        T.StructType(
+                                                                                            [
+                                                                                                T.StructField("key", T.StringType()),
+                                                                                                T.StructField("value", T.StringType()),
+                                                                                            ]
+                                                                                        )
+                                                                                    ),
+                                                                                ),
+                                                                            ]
+                                                                        )
+                                                                    ),
+                                                                ),
+                                                            ]
+                                                        )
+                                                    ),
+                                                ),
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def extract_neighborhoods(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """P20 + A3 (airbnb.py:177-196 — `_get_neighborhoods`, never called in
+    the reference; ported for SURVEY parity behind
+    ``cfg.neighborhood_min_listings``): explore-tabs metadata →
+    (page_url, neighborhood, neighborhood_id) rows.
+
+    Semantics mirrored exactly: the A3 gate drops areas with
+    ``listings_count < 300`` (airbnb.py:182-183); only sections with
+    ``filter_section_id == 'neighborhoods'`` contribute; the id is the
+    FIRST param with key ``neighborhood_ids`` (break on match,
+    airbnb.py:191-194). Pure JVM expressions — from_json + filter +
+    explode; no Python."""
+    r = F.from_json(F.col("text"), EXPLORE_TABS_SCHEMA)
+    meta = F.try_element_at(r["explore_tabs"], F.lit(1))["home_tab_metadata"]
+    gated = df.select(
+        F.col("url").alias("page_url"),
+        meta["listings_count"].alias("listings_count"),
+        meta["filters"]["sections"].alias("sections"),
+    ).where(F.col("listings_count") >= F.lit(cfg.neighborhood_min_listings))
+    hoods = gated.select(
+        "page_url",
+        F.explode(
+            F.filter(F.col("sections"), lambda s: s["filter_section_id"] == F.lit("neighborhoods"))
+        ).alias("section"),
+    ).select("page_url", F.explode(F.col("section")["items"]).alias("item"))
+    nid = F.try_element_at(
+        F.filter(F.col("item")["params"], lambda p: p["key"] == F.lit("neighborhood_ids")),
+        F.lit(1),
+    )["value"]
+    return hoods.select(
+        "page_url",
+        F.col("item")["title"].alias("neighborhood"),
+        nid.alias("neighborhood_id"),
+    )

@@ -145,3 +145,40 @@ def test_byte_parity_text(pages_df):
         F.col("t2") != F.col("text")
     )
     assert bad.count() == 0
+
+
+class TestNeighborhoodsF9:
+    """P20/A3 (airbnb.py:177-196) and the F9 room-type filter."""
+
+    def test_neighborhood_gate_and_break_on_first(self, spark, spec, cfg):
+        from frontier_engine.fixtures import explore_tabs_body, explore_tabs_url
+        import pandas as pd
+
+        rows = [
+            {"url": explore_tabs_url(spec, i), "text": explore_tabs_body(spec, i)}
+            for i in range(spec.n_hosts)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = P.extract_neighborhoods(df, cfg).collect()
+        # A3 gate: only host 0 (hot host, listings_count = 48*10) clears 300
+        hosts = {r.page_url.split("/")[2] for r in out}
+        assert hosts == {spec.host(0)}
+        assert len(out) == 3  # 3 neighborhoods, decoy section ignored
+        # P20 break-on-first: the id is the FIRST neighborhood_ids param
+        ids = sorted(r.neighborhood_id for r in out)
+        assert ids == ["0", "1", "2"]
+        assert all("999" != r.neighborhood_id for r in out)
+
+    def test_room_type_filter_f9(self, spark, pages_df, args, cfg):
+        from frontier_engine.config import EngineConfig
+
+        all_res, _ = P.parse_search(pages_df.where(P.page_type_col() == "search"), args, cfg)
+        kinds = {r.room_type for r in all_res.select("room_type").distinct().collect()}
+        assert len(kinds) > 2
+        cfg2 = EngineConfig(room_types=("Private room",))
+        res, cands = P.parse_search(pages_df.where(P.page_type_col() == "search"), args, cfg2)
+        got = {r.room_type for r in res.select("room_type").distinct().collect()}
+        assert got == {"Private room"}
+        # filtered listings also get no PDP candidates
+        n_pdp = cands.where(F.col("url").contains("PdpPlatformSections")).count()
+        assert n_pdp == res.count()
