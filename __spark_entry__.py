@@ -697,6 +697,101 @@ def q_pipeline_filters(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# ST2 stateful streaming twins (applyInPandasWithState), driven to
+# completion with availableNow so the driver can oracle their output
+# ===========================================================================
+
+def _write_slice(df, src_dir: str, name: str) -> None:
+    """One time-slice = one file, moved into the stream dir AFTER the
+    previous slice so arrival order (mtime) is deterministic."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="slice-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """ST2: gap-sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState + event-time timeout), fed as four
+    time-ordered micro-batches plus an end-of-stream sentinel; the
+    per-user aggregate must equal the batch lag+cumsum twin
+    (events_sessionize — same oracle SQL)."""
+    import datetime
+    import tempfile
+
+    from frontier_engine.streaming import run_stream_to_parquet, sessionize_stateful
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    mn, mx = e.agg(F.min("ts"), F.max("ts")).first()
+    root = tempfile.mkdtemp(prefix="stream-sess-")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    span = (mx - mn).total_seconds() or 1.0
+    cuts = [mn + datetime.timedelta(seconds=span * k / 4) for k in range(5)]
+    cuts[-1] = mx + datetime.timedelta(seconds=1)
+    for i in range(4):
+        sl = e.where((F.col("ts") >= F.lit(cuts[i])) & (F.col("ts") < F.lit(cuts[i + 1])))
+        _write_slice(sl, src, f"slice-{i}.parquet")
+    sentinel = e.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(mx + datetime.timedelta(hours=2)).alias("ts"),
+    )
+    _write_slice(sentinel, src, "slice-9-sentinel.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stateful(stream, gap_s=1800)
+    run_stream_to_parquet(sessions, os.path.join(root, "out"), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(os.path.join(root, "out"))
+    return out.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("duration_us").cast("long").alias("max_session_us"),
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """ST2/D1: first-seen-wins URL dedup as a stateful streaming operator —
+    two overlapping frontier batches arrive as separate micro-batches; the
+    emitted set must be exactly the distinct union (SQL oracle)."""
+    import tempfile
+
+    from frontier_engine.streaming import dedup_stateful, run_stream_to_parquet
+
+    fr = _frontier(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream-dedup-")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    a = fr.where(F.col("discovered_seq") % 2 == 0)
+    b = fr.where(F.col("discovered_seq") % 3 == 0)
+    for i, part in enumerate((a, b)):
+        _write_slice(
+            part.select("url", F.xxhash64("url").alias("url_hash")), src, f"batch-{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("url string, url_hash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stateful(stream)
+    run_stream_to_parquet(deduped, os.path.join(root, "out"), os.path.join(root, "ckpt"))
+    return spark.read.parquet(os.path.join(root, "out")).select("url")
+
+
 def q_neighborhoods(spark, sf_dir):
     """P20 + A3 (airbnb.py:177-196, behind cfg): explore-tabs metadata →
     neighborhood rows; the <300-listings gate empties small hosts, the id
@@ -769,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filters": q_pipeline_filters,
         "neighborhoods": q_neighborhoods,
         "room_type_filter": q_room_type_filter,
+        # ST2 stateful streaming twins (r2)
+        "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -854,6 +952,12 @@ _REPR = "lower('b''' || regexp_replace({col}, '[^\\x00-\\x7F]', '?', 'g') || '''
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_build()
+    out["stream_sessionize"] = out["events_sessionize"]
+    return out
+
+
+def _oracle_sql_build() -> dict[str, str]:
     frontier = f"WITH frontier AS ({_FRONTIER_SQL})"
     return {
         "page_text_extract": f"""
@@ -1054,6 +1158,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup": f"""
+            {frontier}
+            SELECT DISTINCT url FROM (
+              SELECT url FROM frontier WHERE discovered_seq % 2 = 0
+              UNION ALL
+              SELECT url FROM frontier WHERE discovered_seq % 3 = 0
+            )
         """,
         "events_sessionize": """
             WITH marked AS (

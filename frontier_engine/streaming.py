@@ -98,3 +98,162 @@ def windowed_fetch_metrics(events: DataFrame, watermark: str = "10 minutes") -> 
             F.least(F.lit(60.0), F.greatest(F.lit(5.0), F.col("avg_latency_s") * 2)), 4
         ).alias("next_delay_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# ST2 custom stateful operators (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, duration_us long"
+)
+SESSION_STATE_SCHEMA = "last_us long, start_us long, n long, session_no long"
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_s: int = 1800, watermark_s: int | None = None
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState, event-time timeout) — the streaming twin of
+    the batch lag+cumsum sessionizer (__spark_entry__.q_events_sessionize;
+    both oracle-checked against the same SQL).
+
+    Per user_id the state holds the open session (last/start/count).
+    A closed session row emits when (a) a new event arrives more than
+    ``gap_s`` after the last one, (b) the event-time watermark passes
+    last+gap (GroupStateTimeout.EventTimeTimeout — the crash-safe path for
+    users that simply stop), or (c) an end-of-stream sentinel
+    (event_id = -1) arrives. The watermark delay defaults to ``gap_s`` so
+    a timeout can only fire when the batch twin would also have split
+    (any later event for that user must be ≥ watermark > last+gap).
+
+    Order contract: events for one user must arrive in non-decreasing
+    event-time across micro-batches (within a batch the kernel sorts) —
+    the caller feeds time-sliced files, exactly Kafka/Kinesis per-key
+    ordering at 100 TB scale.
+    """
+    import pandas as pd  # noqa: F401
+
+    gap_us = gap_s * 1_000_000
+    wm = watermark_s if watermark_s is not None else gap_s
+
+    def fn(key, pdfs, state):
+        uid = int(key[0])
+        if state.hasTimedOut:
+            last_us, start_us, n, sess_no = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [uid], "session_no": [sess_no], "n_events": [n],
+                 "duration_us": [last_us - start_us]}
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs (unix_micros twin)
+        ids = rows["event_id"].to_numpy()
+        if state.exists:
+            last_us, start_us, n, sess_no = state.get
+            has_open = True
+        else:
+            last_us = start_us = n = 0
+            sess_no = 0
+            has_open = False
+        out = {"user_id": [], "session_no": [], "n_events": [], "duration_us": []}
+
+        def close():
+            out["user_id"].append(uid)
+            out["session_no"].append(sess_no)
+            out["n_events"].append(n)
+            out["duration_us"].append(last_us - start_us)
+
+        for t, eid in zip(ts_us.to_numpy(), ids):
+            t = int(t)
+            if eid == -1:  # end-of-stream sentinel: close, start nothing
+                if has_open:
+                    close()
+                    sess_no += 1
+                    has_open = False
+                continue
+            if not has_open:
+                start_us = last_us = t
+                n = 1
+                has_open = True
+            elif t - last_us > gap_us:
+                close()
+                sess_no += 1
+                start_us = last_us = t
+                n = 1
+            else:
+                last_us = t
+                n += 1
+        if has_open:
+            state.update((int(last_us), int(start_us), int(n), int(sess_no)))
+            timeout_ms = last_us // 1000 + gap_s * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1000))
+        else:
+            state.remove() if state.exists else None
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = events.withWatermark("ts", f"{wm} seconds")
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+DEDUP_OUT_SCHEMA = "url_hash long, url string"
+DEDUP_STATE_SCHEMA = "seen int"
+
+
+def dedup_stateful(urls: DataFrame) -> DataFrame:
+    """First-seen-wins URL dedup as a stateful streaming operator — the
+    streaming twin of seen.filter_unseen (D1/D3): keyed by url_hash, the
+    first arrival emits and sets a tombstone; every later duplicate is
+    swallowed. State is one int per distinct key, sharded by Spark's
+    state store exactly like the batch path's bloom shards. Input needs
+    (url_hash long, url string [, ts timestamp])."""
+    import pandas as pd  # noqa: F401
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout
+            return
+        first = None
+        for pdf in pdfs:
+            if not pdf.empty and first is None:
+                row = pdf.sort_values("url").iloc[0]
+                first = row["url"]
+        if state.exists or first is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"url_hash": [int(key[0])], "url": [first]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return urls.groupBy("url_hash").applyInPandasWithState(
+        fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Drive a (bounded) streaming DataFrame to completion into parquet —
+    availableNow processes every pending file then stops."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

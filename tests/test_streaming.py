@@ -50,3 +50,75 @@ def test_windowed_fetch_metrics_batch_mode(spark):
     assert out[0].fetches == 2 and abs(out[0].avg_latency_s - 6.0) < 1e-9
     assert out[0].next_delay_s == 12.0  # 2×avg clamped to [5, 60]
     assert out[1].next_delay_s == 60.0  # 80 clamped to max (AutoThrottle cap)
+
+
+class TestStatefulOps:
+    """ST2: applyInPandasWithState sessionize/dedup — state carry-over
+    across micro-batches and the event-time TIMEOUT path."""
+
+    def _mk_slices(self, spark, tmp_path, slices, schema):
+        import glob
+        import os
+        import shutil
+
+        src = os.path.join(str(tmp_path), "in")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(slices):
+            df = spark.createDataFrame(rows, schema)
+            d = os.path.join(str(tmp_path), f"w{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0],
+                        os.path.join(src, f"slice-{i}.parquet"))
+        return src
+
+    def test_session_timeout_emits_without_sentinel(self, spark, tmp_path):
+        """User 1 stops after slice 0; slice 1 (other user, much later ts)
+        advances the watermark past last+gap → user 1's open session MUST
+        emit through GroupStateTimeout, not via new data or sentinel."""
+        import datetime
+        import os
+
+        from frontier_engine.streaming import run_stream_to_parquet, sessionize_stateful
+
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(mins):
+            return t0 + datetime.timedelta(minutes=mins)
+
+        schema = "user_id long, event_id long, ts timestamp"
+        slices = [
+            [(1, 1, ts(0)), (1, 2, ts(5)), (2, 3, ts(6))],
+            # 10 hours later: watermark (max - gap) >> user-1 last + gap
+            [(2, 4, ts(600)), (2, 5, ts(601))],
+        ]
+        src = self._mk_slices(spark, tmp_path, slices, schema)
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out_dir, ck = os.path.join(str(tmp_path), "out"), os.path.join(str(tmp_path), "ck")
+        run_stream_to_parquet(sessionize_stateful(stream, gap_s=1800), out_dir, ck)
+        rows = {(r.user_id, r.session_no): (r.n_events, r.duration_us)
+                for r in spark.read.parquet(out_dir).collect()}
+        # user 1's only session emitted by TIMEOUT (no sentinel anywhere)
+        assert rows[(1, 0)] == (2, 5 * 60 * 1_000_000)
+        # user 2's slice-0 event and slice-1 events are >gap apart → split;
+        # the second session is still open (no timeout passed it) → absent
+        assert rows[(2, 0)] == (1, 0)
+        assert (2, 1) not in rows
+
+    def test_dedup_state_across_batches(self, spark, tmp_path):
+        import os
+
+        from frontier_engine.streaming import dedup_stateful, run_stream_to_parquet
+
+        schema = "url string, url_hash long"
+        slices = [
+            [("u1", 1), ("u2", 2), ("u1", 1)],   # in-batch dup
+            [("u2", 2), ("u3", 3)],              # cross-batch dup
+        ]
+        src = self._mk_slices(spark, tmp_path, slices, schema)
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out_dir, ck = os.path.join(str(tmp_path), "o2"), os.path.join(str(tmp_path), "c2")
+        run_stream_to_parquet(dedup_stateful(stream), out_dir, ck)
+        urls = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+        assert urls == ["u1", "u2", "u3"]
