@@ -93,3 +93,42 @@ def test_export_frame_cells(spark):
     assert row.description == ""       # None → '' (exporter default_value)
     assert row.review_score == ""      # never-set field exports empty
     assert list(row.asDict().keys()) == FEED_EXPORT_FIELDS
+
+
+def test_write_xlsx_true_spreadsheet(spark, tmp_path):
+    """S6: the .xlsx sink emits a valid OOXML zip — header row, inline
+    strings with the CSV-identical cell grid, HYPERLINK name as a formula
+    cell (exporter.py:31-32,58-70)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from frontier_engine.sinks import write_xlsx
+
+    pdf = pd.DataFrame(
+        {
+            "id": ["9"],
+            "url": ["https://www.airbnb.com/rooms/9"],
+            "name": ["A <quiet> & cozy place"],
+            "amenities": [["Wifi", "TV"]],
+            "price_rate": [123],
+        }
+    )
+    path = str(tmp_path / "out.xlsx")
+    write_xlsx(spark.createDataFrame(pdf), path)
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rows = sheet.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 2  # header + 1 item
+    header = [t.text for t in rows[0].iter(f"{ns}t")]
+    assert header == FEED_EXPORT_FIELDS
+    cells = rows[1].findall(f"{ns}c")
+    # name cell is a FORMULA (hyperlink), first column
+    formula = cells[0].find(f"{ns}f").text
+    assert formula == 'HYPERLINK("https://www.airbnb.com/rooms/9", "A <quiet> & cozy place")'
+    # amenities cell joined with ',' like the CSV grid; XML-escaping survives
+    texts = [t.text if t.text else "" for t in rows[1].iter(f"{ns}t")]
+    assert "Wifi,TV" in texts
+    assert "123" in texts
