@@ -378,23 +378,47 @@ def hardware_probe() -> dict:
     return out
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        job = sys.argv[4] if len(sys.argv) > 4 else "schedule"
-        _scaling_child(int(sys.argv[2]), int(sys.argv[3]), job)
-        return
-
+def _main_child() -> None:
+    """The full-cores phase (operator queries + headline schedule/parse)
+    in its OWN process. Critical for reproducible scaling numbers: a
+    'stopped' SparkSession's JVM lives (and GC-churns several cores —
+    measured ~4.5 cores for minutes) until the Python process exits, so
+    the main phase must be fully dead before any scaling child runs."""
     from frontier_engine.session import get_spark
 
-    do_scaling = os.environ.get("BENCH_SCALING", "1") == "1"
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
-
     queries = operator_queries(spark, SF_DIR)
     sched = schedule_round(spark, FRONTIER_N)
     parse = parse_pages_bench(spark)
     queries["schedule_round_1m"] = sched["t_total"]
     queries["parse_pages"] = parse["sec"]
+    print("MAIN_RESULT " + json.dumps({"queries": queries, "sched": sched, "parse": parse}))
     spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        job = sys.argv[4] if len(sys.argv) > 4 else "schedule"
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]), job)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--main-child":
+        _main_child()
+        return
+
+    do_scaling = os.environ.get("BENCH_SCALING", "1") == "1"
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--main-child"],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    res = None
+    for line in p.stdout.splitlines():
+        if line.startswith("MAIN_RESULT "):
+            res = json.loads(line[len("MAIN_RESULT "):])
+    if res is None:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+        raise RuntimeError("main-child produced no result")
+    queries, sched, parse = res["queries"], res["sched"], res["parse"]
 
     scaling = run_scaling(SCALING_N) if do_scaling else {}
     if do_scaling:
