@@ -553,7 +553,16 @@ def q_lsh_ann(spark, sf_dir):
     cos ≈ 0.2 where bucketed ANN is the wrong tool by design). The same
     mixtures are rebuilt by the oracle, so LSH recall of the true top-10
     is verified end-to-end."""
-    from frontier_engine.similarity import _as_double, lsh_topk
+    from frontier_engine.similarity import lsh_topk
+
+    uni, qv = _ann_universe(spark, sf_dir)
+    return lsh_topk(uni, qv, k=10, probe_hamming=2)
+
+
+def _ann_universe(spark, sf_dir):
+    """Corpus + ten planted near neighbors of v0 (0.95·v0 + 0.05·vi) —
+    the SQL-derivable evaluation set shared by lsh_ann / ivf_ann."""
+    from frontier_engine.similarity import _as_double
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
@@ -567,7 +576,18 @@ def q_lsh_ann(spark, sf_dir):
         )
     )
     uni = e.select("vec_id", _as_double(F.col("embedding")).alias("embedding"), "label").unionByName(mixtures)
-    return lsh_topk(uni, qv, k=10, probe_hamming=2)
+    return uni, qv
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-Flat ANN (coarse k-means quantizer, n_probe of n_lists
+    scanned — the partition-pruned scale path): top-10 over the
+    planted-neighbor corpus must equal exact brute force (same oracle
+    as lsh_ann)."""
+    from frontier_engine.similarity import ivf_topk
+
+    uni, qv = _ann_universe(spark, sf_dir)
+    return ivf_topk(uni, qv, k=10, n_lists=16, n_probe=4)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -867,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ST2 stateful streaming twins (r2)
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
+        "ivf_ann": q_ivf_ann,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -954,6 +975,7 @@ _REPR = "lower('b''' || regexp_replace({col}, '[^\\x00-\\x7F]', '?', 'g') || '''
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_build()
     out["stream_sessionize"] = out["events_sessionize"]
+    out["ivf_ann"] = out["lsh_ann"]  # both must equal exact brute force
     return out
 
 

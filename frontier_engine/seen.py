@@ -187,18 +187,22 @@ def filter_unseen(
     round (the round-1 scale-killer). The final anti-join's right side is
     bounded by the round's dup count.
     """
+    parts = seen_exact if isinstance(seen_exact, list) else [seen_exact]
+    if not parts:
+        return candidates
     if n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
         positives = bloom_positive_hashes_broadcast(candidates, shards, n_shards, n_bits, k)
     else:
         positives = bloom_positive_hashes(candidates, shards, n_shards, n_bits, k)
-    parts = seen_exact if isinstance(seen_exact, list) else [seen_exact]
-    true_dups = None
-    for part in parts:
-        dup = positives.join(part.select("url_hash"), "url_hash", "left_semi")
-        true_dups = dup if true_dups is None else true_dups.unionByName(dup)
-    if true_dups is None:
-        return candidates
-    return candidates.join(true_dups, "url_hash", "left_anti")
+    # bloom+confirm only against the BIG part (the bucketed base — its
+    # semi-join moves just the positives); the remaining parts are
+    # O(recent-rounds) deltas, cheap to anti-join directly (AQE broadcasts
+    # them) — and the Python bloom scan then runs exactly once
+    true_dups = positives.join(parts[0].select("url_hash"), "url_hash", "left_semi")
+    out = candidates.join(true_dups, "url_hash", "left_anti")
+    for part in parts[1:]:
+        out = out.join(part.select("url_hash"), "url_hash", "left_anti")
+    return out
 
 
 def update_shards(

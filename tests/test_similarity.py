@@ -59,3 +59,35 @@ def test_embedding_near_dup_pairs(emb):
     for (a, b), cos in got.items():
         true = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
         assert true >= 0.95 and abs(true - cos) < 1e-5
+
+
+def test_ivf_topk_matches_brute_force_on_near_corpus(emb):
+    """IVF with n_probe=4 of 16 lists must recall the exact top-10 when
+    true neighbors exist (planted mixtures around the query vector)."""
+    from pyspark.sql import functions as F
+
+    df, vecs = emb
+    q = vecs[0].astype("float64").tolist()
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    mixtures = (
+        df.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+        .select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            F.zip_with(qcol, S._as_double(F.col("embedding")), lambda a, b: a * 0.95 + b * 0.05).alias("embedding"),
+            F.col("label"),
+        )
+    )
+    uni = df.select(
+        "vec_id", S._as_double(F.col("embedding")).alias("embedding"), "label"
+    ).unionByName(mixtures)
+    exact = [(r.vec_id, r.cos) for r in S.brute_force_topk(uni, q, k=10).collect()]
+    approx = [(r.vec_id, r.cos) for r in S.ivf_topk(uni, q, k=10, n_lists=16, n_probe=4).collect()]
+    assert approx == exact
+
+
+def test_kmeans_centroids_deterministic(emb):
+    df, _ = emb
+    c1 = S.kmeans_centroids(df, k=8, iters=2)
+    c2 = S.kmeans_centroids(df, k=8, iters=2)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 16
