@@ -170,6 +170,7 @@ def filter_unseen(
     n_shards: int,
     n_bits: int,
     k: int,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """EXACT unseen subset of *candidates* (columns preserved).
 
@@ -190,7 +191,14 @@ def filter_unseen(
     parts = seen_exact if isinstance(seen_exact, list) else [seen_exact]
     if not parts:
         return candidates
-    if n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
+    if filter_kind == "cuckoo":
+        # north-star fallback structure (supports TTL deletes); for the
+        # cuckoo path *n_bits* is the per-shard BUCKET count (×4 slots ×
+        # 16-bit fingerprints); same exactness discipline either way
+        from frontier_engine.cuckoo import cuckoo_positive_hashes_broadcast
+
+        positives = cuckoo_positive_hashes_broadcast(candidates, shards, n_shards, n_bits)
+    elif n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
         positives = bloom_positive_hashes_broadcast(candidates, shards, n_shards, n_bits, k)
     else:
         positives = bloom_positive_hashes(candidates, shards, n_shards, n_bits, k)
