@@ -324,6 +324,38 @@ def q_adaptive_delay(spark, sf_dir):
     )
 
 
+def q_ttl_recrawl(spark, sf_dir):
+    """TTL re-crawl policy (recrawl.due_for_recrawl): events model a fetch
+    log — url_hash = event_id % 5000, host = url_hash % 20, last fetch =
+    max event ts per url (µs). A url is due when last_fetch + ttl(host) <
+    now; even-numbered hosts carry a broadcast per-host TTL override.
+    Mechanism (tombstones + cuckoo delete) is pinned by tests/test_recrawl."""
+    from frontier_engine.recrawl import due_for_recrawl
+
+    e = _t(spark, sf_dir, "events")
+    uh = (F.col("event_id") % 5000).cast("long")
+    log = (
+        e.select(
+            uh.alias("url_hash"),
+            F.concat(F.lit("h"), (uh % 20).cast("string"), F.lit(".example")).alias("host"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("fetch_us"),
+        )
+        .groupBy("url_hash", "host")
+        .agg(F.max("fetch_us").alias("last_fetch_ts"))
+    )
+    now_us = e.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
+    ttl = spark.createDataFrame(
+        [(f"h{h}.example", (h + 1) * 600 * 1_000_000) for h in range(0, 20, 2)],
+        "host string, ttl_s long",
+    )
+    due = due_for_recrawl(log, now_ts=now_us, default_ttl_s=5400 * 1_000_000, host_ttl=ttl)
+    return due.select(
+        "url_hash", "host",
+        F.col("last_fetch_ts").cast("long").alias("last_fetch_us"),
+        F.col("ttl_s").cast("long").alias("ttl_us"),
+    )
+
+
 # ===========================================================================
 # training-data ops: dedup / langid / quality / tokens / similarity
 # ===========================================================================
@@ -867,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_tumbling": q_events_tumbling,
         "adaptive_delay": q_adaptive_delay,
+        "ttl_recrawl": q_ttl_recrawl,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1217,6 +1250,24 @@ def _oracle_sql_build() -> dict[str, str]:
                    ROUND(AVG(value), 4) AS avg_latency,
                    ROUND(LEAST(60.0, GREATEST(5.0, AVG(value) * 2)), 4) AS next_delay_s
             FROM events GROUP BY 1
+        """,
+        "ttl_recrawl": """
+            WITH log AS (
+              SELECT CAST(event_id % 5000 AS BIGINT) AS url_hash,
+                     'h' || CAST((event_id % 5000) % 20 AS VARCHAR) || '.example' AS host,
+                     MAX(epoch_us(ts)) AS last_fetch_us
+              FROM events GROUP BY 1, 2
+            ),
+            ttl AS (
+              SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+                     CAST(h + 1 AS BIGINT) * 600 * 1000000 AS ttl_us
+              FROM (SELECT unnest(range(0, 20, 2)) AS h)
+            ),
+            now AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events)
+            SELECT l.url_hash, l.host, l.last_fetch_us,
+                   CAST(COALESCE(t.ttl_us, CAST(5400 AS BIGINT) * 1000000) AS BIGINT) AS ttl_us
+            FROM log l LEFT JOIN ttl t USING (host), now
+            WHERE l.last_fetch_us + COALESCE(t.ttl_us, CAST(5400 AS BIGINT) * 1000000) < now.now_us
         """,
         "dedup_exact": f"""
             SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -330,10 +330,17 @@ def run_scaling(n_urls: int) -> dict:
             r = _run_child(job, cores, n_urls)
             if r is not None:
                 jout[f"n{cores}"] = r
+        # Headline `efficiency` is the north-rule N→4N pair at 2→8 cores:
+        # below this box's DRAM-saturation point, so it measures the
+        # ENGINE's scaling (shuffle/skew/plan), which is what transfers to
+        # a cluster where each executor brings its own memory bandwidth.
+        # 8→32 shares one DRAM bus 4 ways and is published separately as
+        # the hardware floor (compare hardware_ceiling.membw_eff_32p).
         if "n2" in jout and "n8" in jout:
-            jout["efficiency_2_8"] = round((jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
+            jout["efficiency"] = round((jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
+            jout["efficiency_pair"] = "2->8 cores (N->4N)"
         if "n8" in jout and "n32" in jout:
-            jout["efficiency"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
+            jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
         out[job] = jout
     return out
 

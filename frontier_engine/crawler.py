@@ -156,14 +156,23 @@ def _ingest_candidates(
     deduped = (
         cands.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     )
+    # per-shard sizing unit: bloom = bits, cuckoo = buckets (×4 slots)
+    cuckoo = cfg.seen_filter_kind == "cuckoo"
+    n_units = cfg.cuckoo_buckets_per_shard if cuckoo else cfg.bloom_bits_per_shard
     unseen = S.filter_unseen(
-        deduped, shards, seen_parts, cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+        deduped, shards, seen_parts, cfg.n_seen_shards, n_units,
+        cfg.bloom_num_hashes, filter_kind=cfg.seen_filter_kind,
     )
     unseen, n_unseen = assign_discovered_seq_counted(unseen, seq_offset)
 
-    new_shards = S.update_shards(
-        unseen, shards, cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
-    )
+    if cuckoo:
+        from frontier_engine.cuckoo import update_cuckoo_shards
+
+        new_shards = update_cuckoo_shards(unseen, shards, cfg.n_seen_shards, n_units)
+    else:
+        new_shards = S.update_shards(
+            unseen, shards, cfg.n_seen_shards, n_units, cfg.bloom_num_hashes
+        )
 
     allowed, blocked = split_allowed(unseen, rules, cfg)
     mk = lambda df, status: df.select(

@@ -183,6 +183,62 @@ def cuckoo_positive_hashes_broadcast(candidates, shards, n_shards: int, n_bucket
     )
 
 
+def cuckoo_positive_hashes(hashes_df, shards, n_shards: int, n_buckets: int):
+    """Cogrouped (non-broadcast) cuckoo check — the 10^10-scale path where
+    the shard blobs don't fit a broadcast: each shard's blob meets exactly
+    the candidate hashes that could hit it, mirroring
+    seen.bloom_positive_hashes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from frontier_engine.seen import shard_id_col
+
+    keyed = hashes_df.select("url_hash").withColumn(
+        "shard_id", shard_id_col(F.col("url_hash"), n_shards)
+    )
+
+    def check(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or sdf.empty or sdf["bits"].iloc[0] is None:
+            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
+        h = cdf["url_hash"].to_numpy(np.int64)
+        hit = contains(bytes(sdf["bits"].iloc[0]), h, n_buckets)
+        return pd.DataFrame({"url_hash": h[hit]})
+
+    return keyed.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        check, T.StructType([T.StructField("url_hash", T.LongType())])
+    )
+
+
+def delete_cuckoo_shards(expired, shards, n_shards: int, n_buckets: int):
+    """Remove expired url_hash keys from their cuckoo shard blobs (TTL
+    recrawl — the operation blooms can't do). Cogrouped like the insert
+    path; a shard with no expirations passes through untouched."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from frontier_engine.seen import SHARD_SCHEMA, shard_id_col
+
+    dels = expired.select("url_hash").withColumn(
+        "shard_id", shard_id_col(F.col("url_hash"), n_shards)
+    )
+
+    def merge(key, ddf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        if sdf.empty or sdf["bits"].iloc[0] is None:
+            return pd.DataFrame({"shard_id": [], "bits": []}).astype(
+                {"shard_id": "int32"}
+            )
+        blob = bytes(sdf["bits"].iloc[0])
+        if not ddf.empty:
+            blob = delete(blob, ddf["url_hash"].to_numpy(np.int64), n_buckets)
+        return pd.DataFrame({"shard_id": [sid], "bits": [blob]})
+
+    return dels.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        merge, SHARD_SCHEMA
+    )
+
+
 def update_cuckoo_shards(new_urls, shards, n_shards: int, n_buckets: int):
     """Insert new url_hash keys into their cuckoo shard blobs (cogrouped
     merge, same discipline as seen.update_shards)."""

@@ -195,9 +195,15 @@ def filter_unseen(
         # north-star fallback structure (supports TTL deletes); for the
         # cuckoo path *n_bits* is the per-shard BUCKET count (×4 slots ×
         # 16-bit fingerprints); same exactness discipline either way
-        from frontier_engine.cuckoo import cuckoo_positive_hashes_broadcast
+        from frontier_engine.cuckoo import (
+            cuckoo_positive_hashes,
+            cuckoo_positive_hashes_broadcast,
+        )
 
-        positives = cuckoo_positive_hashes_broadcast(candidates, shards, n_shards, n_bits)
+        if n_shards * n_bits * 8 <= BROADCAST_BITS_MAX_BYTES:
+            positives = cuckoo_positive_hashes_broadcast(candidates, shards, n_shards, n_bits)
+        else:
+            positives = cuckoo_positive_hashes(candidates, shards, n_shards, n_bits)
     elif n_shards * (n_bits // 8) <= BROADCAST_BITS_MAX_BYTES:
         positives = bloom_positive_hashes_broadcast(candidates, shards, n_shards, n_bits, k)
     else:

@@ -65,6 +65,7 @@ class SeenExactStore:
         )
         self.base_path: str | None = None
         self.delta_paths: list[str] = []
+        self.tomb_paths: list[str] = []  # TTL-expired keys (recrawl)
         self._base_rows: int = 0
         self._delta_rows: int = 0
         os.makedirs(root, exist_ok=True)
@@ -74,6 +75,7 @@ class SeenExactStore:
         return {
             "base_path": self.base_path,
             "delta_paths": list(self.delta_paths),
+            "tomb_paths": list(self.tomb_paths),
             "base_rows": self._base_rows,
             "delta_rows": self._delta_rows,
             "n_buckets": self.n_buckets,
@@ -84,6 +86,7 @@ class SeenExactStore:
         st = cls(spark, root, n_buckets=int(meta.get("n_buckets", 64)))
         st.base_path = meta.get("base_path")
         st.delta_paths = list(meta.get("delta_paths", []))
+        st.tomb_paths = list(meta.get("tomb_paths", []))
         st._base_rows = int(meta.get("base_rows", 0))
         st._delta_rows = int(meta.get("delta_rows", 0))
         if st.base_path:
@@ -104,12 +107,24 @@ class SeenExactStore:
 
     # ---- reads -----------------------------------------------------------
     def parts(self) -> list[DataFrame]:
-        """The seen table as join-ready parts: [bucketed base?, deltas?]."""
+        """The seen table as join-ready parts: [bucketed base?, deltas?].
+
+        TTL tombstones (``expire``) are subtracted from every part with a
+        broadcast anti-join — O(expired) per lookup, amortized away at the
+        next compaction. The anti-join sits ON TOP of the bucketed base
+        scan, so the base side still joins exchange-free."""
+        tombs = (
+            self.spark.read.parquet(*self.tomb_paths).select("url_hash")
+            if self.tomb_paths
+            else None
+        )
         out: list[DataFrame] = []
         if self.base_path:
             out.append(self.spark.table(self.table_name))
         if self.delta_paths:
             out.append(self.spark.read.parquet(*self.delta_paths))
+        if tombs is not None:
+            out = [p.join(F.broadcast(tombs), "url_hash", "left_anti") for p in out]
         return out
 
     def as_df(self) -> DataFrame:
@@ -148,6 +163,18 @@ class SeenExactStore:
         fold into the base only when deltas outgrow ``compact_ratio``."""
         path = os.path.join(self.root, f"delta-snap-{snap_id}")
         new_rows.select("url_hash", "canon_url").write.mode("overwrite").parquet(path)
+        if self.tomb_paths:
+            # LSM ordering: a key expired earlier and re-seen NOW must read
+            # as seen again — drop its tombstone. Tombstones are bounded
+            # between compactions, so this consolidation is O(tombstones).
+            merged = os.path.join(self.root, f"tomb-merge-snap-{snap_id}")
+            (
+                self.spark.read.parquet(*self.tomb_paths)
+                .join(self.spark.read.parquet(path).select("url_hash"), "url_hash", "left_anti")
+                .write.mode("overwrite")
+                .parquet(merged)
+            )
+            self.tomb_paths = [merged]
         self.delta_paths.append(path)
         if n_new is None:
             n_new = self.spark.read.parquet(path).count()
@@ -161,12 +188,24 @@ class SeenExactStore:
         ) > 16:
             self.compact(snap_id)
 
+    def expire(self, expired: DataFrame, snap_id: int | str) -> None:
+        """TTL/recrawl expiry: record *expired* url_hash keys as tombstones
+        so they read as NOT seen (an O(expired) delta write — the base is
+        untouched; Iceberg MERGE-delete analog). The next ``compact`` folds
+        them away physically."""
+        path = os.path.join(self.root, f"tomb-snap-{snap_id}")
+        expired.select("url_hash").write.mode("overwrite").parquet(path)
+        self.tomb_paths.append(path)
+
     def compact(self, snap_id: int | str) -> None:
         """Fold deltas into a fresh bucketed base (Iceberg
         rewrite_data_files analog). Rows are already unique — the crawler
         only appends unseen-filtered rows — so no dedup pass is needed;
         a defensive dropDuplicates would re-shuffle what bucketBy already
-        shuffles, and bucketBy's own exchange is the only one here."""
+        shuffles, and bucketBy's own exchange is the only one here.
+        Tombstoned keys fall out here (as_df reads through parts(), which
+        subtracts them) and the tombstone list resets."""
         self._write_base(self.as_df(), snap_id)
         self.delta_paths = []
+        self.tomb_paths = []
         self._delta_rows = 0

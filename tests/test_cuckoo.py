@@ -103,3 +103,39 @@ def test_filter_unseen_cuckoo_exact_semantics(spark):
     out = S.filter_unseen(cand, shards, exact, n_shards, nb, 0, filter_kind="cuckoo")
     expected = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
     assert {r.url for r in out.collect()} == {r.url for r in expected.collect()}
+
+
+def test_cuckoo_crawl_parity_with_bloom(spark, tmp_path_factory):
+    """A cuckoo-backed crawl visits the same batches in the same order and
+    ends with the same seen set as the bloom-backed crawl — the filter
+    kind may only change PRUNING, never semantics."""
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.crawler import run_crawl
+    from frontier_engine.fixtures import WorldSpec, generate_world
+    from frontier_engine.parse import CrawlArgs
+
+    spec = WorldSpec(n_hosts=2, listings_total=12, max_reviews=40)
+    world = generate_world(spec)
+    args = CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
+    pages = spark.createDataFrame(world["pages"])
+    seeds = spark.createDataFrame(world["seeds"][["url"]])
+
+    results = {}
+    for kind in ("bloom", "cuckoo"):
+        cfg = EngineConfig(
+            n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2,
+            seen_filter_kind=kind, cuckoo_buckets_per_shard=1 << 10,
+        )
+        res = run_crawl(
+            spark, pages, cfg, args, seeds=seeds, max_rounds=40,
+            snapshot_dir=str(tmp_path_factory.mktemp(f"snap-{kind}")),
+        )
+        batches = sorted(
+            (r["round"], r.host, r.url, r["rank"])
+            for r in res.outputs["batches"].collect()
+        )
+        seen = {r.canon_url for r in res.seen_exact.collect()}
+        results[kind] = (batches, seen)
+
+    assert results["cuckoo"][0] == results["bloom"][0]
+    assert results["cuckoo"][1] == results["bloom"][1]
