@@ -637,6 +637,23 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(e.unionByName(planted), threshold=0.9)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): sign-bit coarse clusters
+    (float-exact in SQL), within-cluster cosine ≥0.95 drops, lowest id of
+    each chain survives. Corpus = embeddings + exact copies of vec_id<40
+    at +100000 (same sign bits by construction, cos exactly 1.0 → every
+    planted copy MUST be dropped; the oracle recomputes the full rule)."""
+    from frontier_engine.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.where(F.col("vec_id") < 40).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    return semantic_dedup(
+        e.unionByName(planted), threshold=0.95, quantizer="signbits", n_clusters=8
+    )
+
+
 def q_centroid_topk(spark, sf_dir):
     """Per-label centroid exemplars (cluster top-k)."""
     from frontier_engine.similarity import all_pairs_topk_per_label
@@ -929,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_bloom": q_seen_bloom,
         "lsh_ann": q_lsh_ann,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "centroid_topk": q_centroid_topk,
     }
 
@@ -1459,6 +1477,31 @@ def _oracle_sql_build() -> dict[str, str]:
                            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
               FROM uni a, uni b WHERE a.vec_id < b.vec_id
             ) WHERE cos >= 0.9
+        """,
+        "semantic_dedup": """
+            WITH uni AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 40
+            ),
+            assigned AS (
+              SELECT vec_id, v,
+                     CAST((v[1] >= 0) AS INT) + 2 * CAST((v[2] >= 0) AS INT)
+                       + 4 * CAST((v[3] >= 0) AS INT) AS cluster
+              FROM uni
+            ),
+            dups AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE ROUND(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                    >= 0.95
+            )
+            SELECT s.vec_id, s.cluster,
+                   (d.vec_id IS NULL) AS kept
+            FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
         """,
         "centroid_topk": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -267,3 +267,63 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95, n_clusters: int = 8,
+    centroids: list[list[float]] | None = None, quantizer: str = "kmeans",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, arXiv
+    2303.09540): coarse-cluster the corpus, then remove near-duplicates
+    ONLY within each cluster — the trick that turns an O(n²) cosine sweep
+    into per-cluster work bounded by the largest cluster.
+
+    Removal rule (deterministic, order-free — simplified from the paper's
+    keep-random-exemplar): drop x iff some y with a smaller id sits in the
+    same cluster with cos(x, y) ≥ *threshold*. The survivor of each
+    duplicate chain is its lowest id.
+
+    *quantizer*: ``"kmeans"`` assigns by argmax-cosine against *centroids*
+    (or Lloyd-learned ones); ``"signbits"`` hashes the signs of the first
+    log2(n_clusters) components — axis-aligned hyperplane LSH, float-exact
+    and SQL-reproducible (near-parallel vectors agree on every sign with
+    overwhelming probability, exact copies always).
+
+    Scale shape: cluster assignment is a stateless map over the corpus (no
+    shuffle; on a real deployment it's a precomputed partition column);
+    the only shuffle is the self-join keyed on (cluster), whose fan-out is
+    bounded by cluster size — never all-pairs across the corpus.
+
+    Returns (id, cluster int, kept boolean) for every input row.
+    """
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if quantizer == "signbits":
+        n_bits = max(1, (n_clusters - 1).bit_length())
+        cluster = sum(
+            (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (2 ** i)
+            for i in range(n_bits)
+        )
+        assigned = base.withColumn("cluster", cluster).cache()
+    else:
+        cents = centroids or kmeans_centroids(embeddings, n_clusters, 2, id_col, vec_col)
+        cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        assigned = base.withColumn(
+            "cluster", _argmax_cos(cent_col, F.col("v"), len(cents))
+        ).cache()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

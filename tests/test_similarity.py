@@ -91,3 +91,39 @@ def test_kmeans_centroids_deterministic(emb):
     c2 = S.kmeans_centroids(df, k=8, iters=2)
     assert c1 == c2
     assert len(c1) == 8 and len(c1[0]) == 16
+
+
+def test_semantic_dedup_signbits_matches_numpy(emb):
+    """Every dropped id must have a smaller-id ≥τ neighbor in ITS cluster;
+    every kept id must have none — clusters and cosines recomputed exactly
+    in numpy (signbits quantizer is float-exact on both sides)."""
+    df, vecs = emb
+    out = {r.vec_id: (r.cluster, r.kept) for r in S.semantic_dedup(
+        df, threshold=0.95, quantizer="signbits", n_clusters=8).collect()}
+    assert len(out) == 300
+    assert out[5] == (out[0][0], False)  # planted dup of 0: same cluster, dropped
+    assert out[0][1]  # the lowest id of the chain survives
+
+    v = vecs.astype("float64")
+    want_cluster = sum(((v[:, i] >= 0).astype(int) << i) for i in range(3))
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for x in range(300):
+        assert out[x][0] == want_cluster[x]
+        has_earlier_dup = any(
+            want_cluster[y] == want_cluster[x] and round(sims[y, x], 6) >= 0.95
+            for y in range(x)
+        )
+        assert out[x][1] == (not has_earlier_dup), x
+
+
+def test_semantic_dedup_kmeans_quantizer(emb):
+    """kmeans path: planted near-dup lands with its original under learned
+    centroids and is dropped; survivors are unique per duplicate chain."""
+    df, vecs = emb
+    out = {r.vec_id: (r.cluster, r.kept) for r in S.semantic_dedup(
+        df, threshold=0.95, n_clusters=4).collect()}
+    assert len(out) == 300
+    assert out[5] == (out[0][0], False) and out[0][1]
+    assert sum(1 for c, kept in out.values() if not kept) >= 1
