@@ -392,6 +392,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Duplicate-span detection (textops.duplicate_spans): per doc, count
+    of distinct 6-word spans shared with another doc + dup ratio — the
+    Lee-et-al.-2022 span-dedup signal; SQL twin recomputes span sets and
+    frequencies from scratch."""
+    from frontier_engine.textops import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=6)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language ID with deterministic tie-break."""
     from frontier_engine.textops import lang_id
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_spans": q_duplicate_spans,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1291,6 +1302,23 @@ def _oracle_sql_build() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
             FROM (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
             GROUP BY n
+        """,
+        "duplicate_spans": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS g
+              FROM norm, (SELECT unnest(range(1, 4096)) AS i)
+              WHERE i + 5 <= length(w)
+            ),
+            cnt AS (SELECT g, COUNT(*) AS nd FROM sh GROUP BY g)
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                   ROUND(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_ratio
+            FROM sh JOIN cnt USING (g)
+            GROUP BY sh.doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH norm AS (

@@ -50,15 +50,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (array<string>)."""
+    """Distinct word n-grams of the normalized text (array<string>).
+    Texts shorter than *n* words yield an empty array (guarded: Spark's
+    sequence(a, b) counts DOWN when b < a, which would feed slice a
+    0 start and throw)."""
     words = F.split(normalized_text(col), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
     )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(k > 0, grams).otherwise(empty))
 
 
 def char_set(col: Column) -> Column:
@@ -322,3 +325,36 @@ def doc_fingerprint_md5(docs: DataFrame, text_col: str = "text", id_col: str = "
         lambda acc, b: F.md5(F.concat(acc, F.lit("|"), b)),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = 6, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-span detection (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv 2107.06499 — the n-token-
+    span discipline, word-level): per document, how many of its distinct
+    n-word spans also occur in some OTHER document. The per-doc dup_ratio
+    is the usual removal/score signal for corpus-level span dedup.
+
+    Scale shape: shingles explode map-side; span frequencies are one
+    hash-groupBy with map-side combine over the 8-byte xxhash64 of the
+    span (the span STRING never shuffles); the join back to docs is
+    hash-partitioned on the same key. Linear in corpus size, never
+    all-pairs. Docs shorter than *n* words have no spans and drop out.
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_ratio).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    # word_shingles is per-doc distinct, so count(*) == count(distinct doc)
+    counts = sh.groupBy("gh").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn("dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+    )

@@ -107,3 +107,27 @@ def test_fingerprint_order_sensitive(spark):
     )
     fp = {r.doc_id: r.fingerprint for r in X.doc_fingerprint(df).collect()}
     assert fp[0] != fp[1]
+
+
+def test_duplicate_spans_exact(spark):
+    """Planted shared span: docs 1 and 2 share one 6-word span; doc 3 is
+    all-unique; doc 4 too short for any span. Recomputed exactly."""
+    from frontier_engine.textops import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared} nine"),
+        (3, "q w e r t y u i o p"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio)
+           for r in duplicate_spans(df, n=6).collect()}
+    # doc 1: 9 words -> 4 spans; spans of doc 2 (8 words -> 3 spans):
+    # 'zero alpha..epsilon', 'alpha..zeta'(shared), 'beta..zeta nine'
+    assert out[1][0] == 4 and out[1][1] == 1
+    assert out[2][0] == 3 and out[2][1] == 1
+    assert out[3] == (5, 0, 0.0)
+    assert 4 not in out  # no 6-word span
+    assert abs(out[1][2] - 0.25) < 1e-9
