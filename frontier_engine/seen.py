@@ -261,7 +261,12 @@ def update_seen(
     n_bits: int,
     k: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """Add (url_hash, canon_url) rows of *new_urls* to both structures."""
+    """Add (url_hash, canon_url) rows of *new_urls* to both structures.
+
+    One-shot/seeding convenience ONLY — the union+dropDuplicates here
+    re-shuffles the whole exact table, so the crawler's per-round path
+    uses seen_store.SeenExactStore (bucketed base + O(batch) deltas)
+    instead."""
     new_shards = update_shards(new_urls, shards, n_shards, n_bits, k)
     new_exact = seen_exact.unionByName(
         new_urls.select("url_hash", "canon_url")

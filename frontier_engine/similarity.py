@@ -293,7 +293,10 @@ def semantic_dedup(
     Scale shape: cluster assignment is a stateless map over the corpus (no
     shuffle; on a real deployment it's a precomputed partition column);
     the only shuffle is the self-join keyed on (cluster), whose fan-out is
-    bounded by cluster size — never all-pairs across the corpus.
+    bounded by cluster size — never all-pairs across the corpus. Size
+    *n_clusters* to the corpus: per-cluster work is O((n/k)²), so keep
+    n/k at ~10^4-10^5 vectors (SemDeDup uses k=50k on LAION-scale data);
+    the 8-cluster default here is the small-fixture/oracle setting.
 
     Returns (id, cluster int, kept boolean) for every input row.
     """

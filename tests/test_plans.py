@@ -1,0 +1,87 @@
+"""Physical-plan regression guards: the 100 TB story's structural
+invariants, asserted on executed plans (the pytest twin of
+scripts_plan_audit.py — if one of these trips, a scale-killer crept in).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import seen as S
+from frontier_engine.canon import with_canon_columns
+from frontier_engine.config import EngineConfig
+from frontier_engine.schedule import assign_discovered_seq_counted, rank_batch
+from frontier_engine.seen_store import SeenExactStore
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def cand(spark):
+    fr = spark.range(20_000).select(
+        F.concat(
+            F.lit("https://www.h"), (F.col("id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("id"), F.lit("?b=2&a=1"),
+        ).alias("url")
+    )
+    return with_canon_columns(fr)
+
+
+def test_bucketed_confirm_join_moves_only_probe_side(spark, cand, tmp_path):
+    store = SeenExactStore(spark, str(tmp_path / "seen"), n_buckets=8)
+    store.append(cand.where(F.col("url_hash") % 2 == 0), "seed")
+    base = store.parts()[0]
+    j = cand.select("url_hash").join(base.select("url_hash"), "url_hash", "left_semi")
+    p = _plan(j)
+    # exactly one Exchange: the probe side shuffles to the bucket hash;
+    # the bucketed base is scanned in place
+    assert p.count("Exchange") == 1, p
+
+
+def test_assign_discovered_seq_has_no_window_node(cand):
+    c = cand.select("url", F.lit(0).alias("depth"), F.lit("").alias("parent_url"))
+    out, n = assign_discovered_seq_counted(c, 0)
+    p = _plan(out)
+    assert n == 20_000
+    assert "Window" not in p, p  # range-partition + per-partition offsets
+
+
+def test_rank_batch_has_no_single_partition_exchange(cand):
+    cfg = EngineConfig(n_seen_shards=8, salt_partitions=4)
+    pend = cand.select(
+        "url", "host", "url_hash",
+        (F.col("url_hash") % 1000).cast("double").alias("priority"),
+        F.col("url_hash").alias("discovered_seq"),
+        F.lit(10.0).alias("crawl_delay_s"), F.lit(10).alias("max_concurrency"),
+    )
+    p = _plan(rank_batch(pend, cfg))
+    assert "SinglePartition" not in p, p
+
+
+def test_frontier_ingest_has_no_python_nodes_outside_seen_check(spark, cand):
+    """Canon + dedupe window + rank are pure JVM; the only Python surface
+    in the schedule path is the bloom/cuckoo membership kernel."""
+    p = _plan(cand)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in p, (node, p)
+
+
+def test_pages_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    spark.range(1000).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("id")).alias("url"),
+        F.lit("x").alias("text"), F.lit(b"h").alias("html"), F.lit("en").alias("lang"),
+    ).write.parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("url").startswith("https://www.h1."))
+        .select("url", "text")
+    )
+    p = _plan(q)
+    assert "PushedFilters: [" in p and "StartsWith" in p, p
+    read_schema = p.split("ReadSchema")[-1]
+    assert "html" not in read_schema, read_schema  # binary column pruned
