@@ -198,6 +198,7 @@ def run_crawl(
     max_rounds: int = 50,
     snapshot_dir: str | None = None,
     resume: bool = False,
+    resume_snap: int | None = None,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or *max_rounds*).
 
@@ -205,6 +206,11 @@ def run_crawl(
     *resume*: continue from the snapshot store's LATEST state — seeds are
     ignored, outputs keep appending (resume == straight-through, verified
     by the resume property test).
+    *resume_snap*: time-travel — roll LATEST back to this snapshot id
+    first (Iceberg rollback_to_snapshot) and replay from there. Replayed
+    rounds are idempotent: state snap dirs overwrite and per-round output
+    partitions are dynamically overwritten, so a replay converges to the
+    straight-through result (tested).
     """
     snapshot_dir = snapshot_dir or tempfile.mkdtemp(prefix="frontier-snap-")
     store = SnapshotStore(snapshot_dir)
@@ -215,6 +221,8 @@ def run_crawl(
     rules.count()
 
     if resume:
+        if resume_snap is not None:
+            store.rollback(resume_snap)
         snap_id, tables = store.load_latest(spark)
         if snap_id is None:
             raise ValueError("resume=True but snapshot store is empty")
@@ -358,9 +366,12 @@ def run_crawl(
     outputs = {}
     for name in OUTPUT_TABLES:
         path = os.path.join(out_dir, name)
-        if os.path.exists(path):
-            outputs[name] = spark.read.parquet(path)
-        else:
+        try:
+            # a table whose every round was empty leaves a file-less
+            # partitioned dir (nothing to infer a schema from) — treat
+            # like a missing table
+            outputs[name] = spark.read.parquet(path) if os.path.exists(path) else None
+        except Exception:
             outputs[name] = None
     return CrawlResult(
         rounds=rounds_done,
@@ -373,6 +384,14 @@ def run_crawl(
 
 
 def append_output(out_dir: str, name: str, df: DataFrame, rnd: int):
-    df.withColumn("round", F.lit(rnd)).write.mode("append").parquet(
-        os.path.join(out_dir, name)
+    """Per-round output commit, partitioned by round with DYNAMIC partition
+    overwrite: appending a new round only adds its partition, while
+    REPLAYING a round (time-travel resume) replaces exactly that round's
+    partition instead of double-appending — idempotent round replay."""
+    (
+        df.withColumn("round", F.lit(rnd))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("round")
+        .parquet(os.path.join(out_dir, name))
     )

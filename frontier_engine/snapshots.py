@@ -109,6 +109,17 @@ class SnapshotStore:
             f.write(str(snap_id))
         os.replace(ltmp, self._latest_path())
 
+    def rollback(self, snap_id: int) -> None:
+        """Point LATEST back at an older snapshot (Iceberg's
+        ``rollback_to_snapshot``). Later snapshots' files become
+        unreferenced — harmless, and overwritten if their rounds replay.
+        Raises if *snap_id* has no manifest."""
+        self.manifest(snap_id)  # validate
+        ltmp = self._latest_path() + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(ltmp, self._latest_path())
+
     def load(self, spark: SparkSession, snap_id: int) -> dict[str, DataFrame]:
         man = self.manifest(snap_id)
         return {

@@ -133,3 +133,31 @@ def test_lineage_manifest(crawl):
     if "frontier_delta" in man["tables"]:
         total_frontier = res.frontier.count()
         assert man["tables"]["frontier_delta"]["rows"] < total_frontier
+
+
+def test_time_travel_resume_is_idempotent(spark, small_spec, small_world, small_cfg, tmp_path_factory):
+    """Run to completion, roll back to snapshot 2, replay: batches, seen
+    set and per-round output row counts must equal straight-through —
+    replayed rounds overwrite their own output partitions, never
+    double-append."""
+    args = CrawlArgs(small_spec.checkin, small_spec.checkout, small_spec.price_max)
+    pages = spark.createDataFrame(small_world["pages"])
+    seeds = spark.createDataFrame(small_world["seeds"][["url"]])
+    d1 = str(tmp_path_factory.mktemp("tt-full"))
+    d2 = str(tmp_path_factory.mktemp("tt-replay"))
+    full = run_crawl(spark, pages, small_cfg, args, seeds=seeds, max_rounds=40, snapshot_dir=d1)
+    run_crawl(spark, pages, small_cfg, args, seeds=seeds, max_rounds=40, snapshot_dir=d2)
+    replay = run_crawl(
+        spark, pages, small_cfg, args, max_rounds=40, snapshot_dir=d2,
+        resume=True, resume_snap=2,
+    )
+    assert replay.rounds == full.rounds
+    b1 = sorted((r["round"], r.host, r.url, r["rank"]) for r in full.outputs["batches"].collect())
+    b2 = sorted((r["round"], r.host, r.url, r["rank"]) for r in replay.outputs["batches"].collect())
+    assert b1 == b2  # equality implies no duplicated replay rows
+    s1 = {r.canon_url for r in full.seen_exact.collect()}
+    s2 = {r.canon_url for r in replay.seen_exact.collect()}
+    assert s1 == s2
+    m1 = full.outputs["metrics"].count()
+    m2 = replay.outputs["metrics"].count()
+    assert m1 == m2
