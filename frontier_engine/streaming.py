@@ -257,3 +257,76 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: st
         .start()
     )
     q.awaitTermination()
+
+
+def frontier_ingest_stream(
+    spark: SparkSession,
+    cands_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming frontier ingest (ST2's seen set as a live stream): a
+    ``readStream`` of candidate-URL files with ``foreachBatch`` running
+    the SAME dedupe discipline as the batch crawler — canonicalize →
+    within-batch dedupe → bloom-shard prefilter → exact confirm against
+    the persistent SeenExactStore → append the batch's unseen keys to the
+    store and OR them into the shard blobs.
+
+    Exactly-once without Iceberg: every per-batch write is keyed by
+    ``batch_id`` (store delta ``delta-snap-s<id>``, shard blob dir
+    ``shards/b<id>``, output partition ``batch_id=<id>``), so a replayed
+    micro-batch overwrites its own files instead of duplicating —
+    idempotent under the streaming engine's at-least-once foreachBatch
+    contract. Unseen rows land in ``<root>/unseen`` partitioned by
+    batch_id.
+
+    Returns the started StreamingQuery; state lives under *root*
+    (resumable: pass the same root + checkpoint to continue).
+    """
+    import os
+
+    from frontier_engine import seen as S
+    from frontier_engine.canon import with_canon_columns
+    from frontier_engine.seen_store import SeenExactStore
+
+    schema = "url string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(cands_dir)
+    )
+    store = SeenExactStore(spark, os.path.join(root, "seen"), n_buckets=cfg.seen_exact_buckets)
+    state = {"shards": S.empty_shards(spark)}
+    shards_root = os.path.join(root, "shards")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cands = with_canon_columns(batch_df).dropDuplicates(["canon_url"])
+        unseen = S.filter_unseen(
+            cands, state["shards"], store.parts(), cfg.n_seen_shards,
+            cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+        ).cache()
+        n = unseen.count()
+        (
+            unseen.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(os.path.join(root, "unseen"))
+        )
+        if n:
+            store.append(unseen, f"s{batch_id}", n_new=n)
+            new_shards = S.update_shards(
+                unseen, state["shards"], cfg.n_seen_shards,
+                cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+            )
+            spath = os.path.join(shards_root, f"b{batch_id}")
+            new_shards.write.mode("overwrite").parquet(spath)
+            state["shards"] = spark.read.parquet(spath)
+        unseen.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

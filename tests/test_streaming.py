@@ -122,3 +122,63 @@ class TestStatefulOps:
         run_stream_to_parquet(dedup_stateful(stream), out_dir, ck)
         urls = sorted(r.url for r in spark.read.parquet(out_dir).collect())
         assert urls == ["u1", "u2", "u3"]
+
+
+def _mk_url_slices(spark, tmp_path, slices):
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = os.path.join(str(tmp_path), "cands")
+    os.makedirs(src, exist_ok=True)
+    for i, urls in enumerate(slices):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        d = os.path.join(str(tmp_path), f"cw{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"slice-{i}.parquet")
+        shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (time.time() + i, time.time() + i))  # mtime order = batch order
+    return src
+
+
+def test_frontier_ingest_stream_matches_batch_dedup(spark, tmp_path, cfg):
+    """Streaming frontier ingest: in-batch dups, cross-batch dups and
+    canonicalization-equivalent urls all collapse; the persistent store
+    ends with exactly the distinct canon set, first batch wins."""
+    import os
+
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.streaming import frontier_ingest_stream
+
+    scfg = EngineConfig(n_seen_shards=4, bloom_bits_per_shard=1 << 14)
+    slices = [
+        ["https://a.example/p/1?x=1&y=2", "https://a.example/p/2", "https://a.example/p/1?x=1&y=2"],
+        ["https://a.example/p/1?y=2&x=1", "https://b.example/q"],   # canon dup of slice-0 + new
+        ["https://b.example/q", "https://c.example/r"],             # cross-batch dup + new
+    ]
+    src = _mk_url_slices(spark, tmp_path, slices)
+    root = os.path.join(str(tmp_path), "ingest")
+    q = frontier_ingest_stream(
+        spark, src, root, os.path.join(str(tmp_path), "ck"), scfg
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(os.path.join(root, "unseen"))
+    got = {(r.url, r.batch_id) for r in out.select("url", "batch_id").collect()}
+    assert got == {
+        ("https://a.example/p/1?x=1&y=2", 0),
+        ("https://a.example/p/2", 0),
+        ("https://b.example/q", 1),
+        ("https://c.example/r", 2),
+    }
+    # the persistent store holds exactly the distinct canon set
+    from frontier_engine.seen_store import SeenExactStore
+
+    store = SeenExactStore(spark, os.path.join(root, "seen"), n_buckets=scfg.seen_exact_buckets)
+    # the stream's store instance appended deltas under the same root
+    import glob as g
+
+    parts = g.glob(os.path.join(root, "seen", "*snap-*"))
+    canon = {r.canon_url for r in spark.read.parquet(*parts).collect()}
+    assert len(canon) == 4
