@@ -259,6 +259,8 @@ def operator_queries(spark, sf_dir: str) -> dict:
         "topk_per_group", "events_tumbling", "dedup_exact", "lang_id",
         "quality_score", "token_counts", "minhash_dedup", "simhash_pairs",
         "ann_brute_topk", "seen_bloom",
+        # round-2 additions
+        "duplicate_spans", "semantic_dedup", "ttl_recrawl", "ivf_ann",
     ]
     qs = E.queries()
     out = {}

@@ -314,11 +314,16 @@ def semantic_dedup(
         assigned = base.withColumn(
             "cluster", _argmax_cos(cent_col, F.col("v"), len(cents))
         ).cache()
+    # per-vector norm computed ONCE (same dot/(√·√) arithmetic the SQL
+    # oracle uses, so rounded cosines stay identical — just not
+    # recomputed for every pair; pairs then cost one dot product)
+    assigned = assigned.withColumn("nrm", norm(F.col("v")))
     a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     dup_ids = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .where(F.round(pair_cos, 6) >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
