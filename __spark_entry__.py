@@ -692,6 +692,42 @@ def q_page_text_extract(spark, sf_dir):
     return pages.select("url", html_bytes_to_text_udf(F.col("html")).alias("text"))
 
 
+def q_pdp_extract(spark, sf_dir):
+    """S3/P10-P15/P17: PDP JSON → field projection via the engine's
+    parse_pdp (first-match find_section, render_titles with falsy-subtitle
+    skip, amenity flatten∘filter, amenity-ID regex, Guest-access group
+    lookup, house-rules projection, allows_events flag, listing-URL
+    synth, logging-context ratings). The DuckDB twin recomputes every
+    field from the same JSON; the three html→text fields are covered
+    byte-exactly by page_text_extract and are omitted here (SQL cannot
+    express the HTML parser). Arrays are '|'-joined on both sides."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = _fixture_pages(spark)
+    rows, _ = P.parse_pdp(pages.where(P.page_type_col() == "pdp"), EngineConfig())
+    return rows.select(
+        "page_url",
+        "listing_id",
+        F.coalesce("access", F.lit("")).alias("access"),
+        F.coalesce("additional_house_rules", F.lit("")).alias("additional_house_rules"),
+        F.coalesce("allows_events", F.lit(False)).alias("allows_events"),
+        F.array_join("amenities", "|").alias("amenities"),
+        F.array_join(F.transform("amenity_ids", lambda x: x.cast("string")), "|").alias("amenity_ids"),
+        F.coalesce(F.array_join("house_rules", "|"), F.lit("")).alias("house_rules"),
+        "is_hotel",
+        F.coalesce("listing_expectations", F.lit("")).alias("listing_expectations"),
+        F.col("rating_accuracy").cast("double").alias("rating_accuracy"),
+        F.col("rating_checkin").cast("double").alias("rating_checkin"),
+        F.col("rating_cleanliness").cast("double").alias("rating_cleanliness"),
+        F.col("rating_communication").cast("double").alias("rating_communication"),
+        F.col("rating_location").cast("double").alias("rating_location"),
+        F.col("rating_value").cast("double").alias("rating_value"),
+        F.col("satisfaction_guest").cast("double").alias("satisfaction_guest"),
+        "listing_url",
+    )
+
+
 def q_listings_extract(spark, sf_dir):
     """P4/P5-P8/F8/S2: search-page JSON → per-listing projection incl. the
     reference's price-parse quirks (lstrip-$, '$N total' regex, price-key
@@ -941,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse/assemble/pipeline family over the committed fixture (r2)
         "page_text_extract": q_page_text_extract,
         "listings_extract": q_listings_extract,
+        "pdp_extract": q_pdp_extract,
         "reviews_assembled": q_reviews_assembled,
         "pipeline_filters": q_pipeline_filters,
         "neighborhoods": q_neighborhoods,
@@ -1046,6 +1083,108 @@ def _oracle_sql_build() -> dict[str, str]:
     return {
         "page_text_extract": f"""
             SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')
+        """,
+        "pdp_extract": f"""
+            WITH src AS (
+              SELECT url AS page_url,
+                     json_extract(text, '$.data.merlin.pdpSections') AS pdp
+              FROM read_parquet('{_FIXTURE_PAGES}')
+              WHERE url LIKE '%/api/v3/PdpPlatformSections%'
+            ),
+            secs AS (
+              SELECT page_url,
+                     json_extract_string(pdp, '$.sections[' || i || '].sectionId') AS sid,
+                     json_extract(pdp, '$.sections[' || i || '].section') AS s
+              FROM src, (SELECT unnest(range(0, 16)) AS i)
+              WHERE i < CAST(json_array_length(pdp, '$.sections') AS BIGINT)
+            ),
+            am_items AS (
+              SELECT page_url, j, k,
+                     json_extract_string(s, '$.seeAllAmenitiesGroups[' || j || '].title') AS gtitle,
+                     json_extract_string(s, '$.seeAllAmenitiesGroups[' || j || '].amenities[' || k || '].id') AS aid,
+                     json_extract_string(s, '$.seeAllAmenitiesGroups[' || j || '].amenities[' || k || '].title') AS atitle,
+                     json_extract_string(s, '$.seeAllAmenitiesGroups[' || j || '].amenities[' || k || '].subtitle') AS asub,
+                     CAST(json_extract_string(s, '$.seeAllAmenitiesGroups[' || j || '].amenities[' || k || '].available') AS BOOLEAN) AS avail
+              FROM (SELECT page_url, s FROM secs WHERE sid = 'AMENITIES_DEFAULT'),
+                   (SELECT unnest(range(0, 8)) AS j), (SELECT unnest(range(0, 32)) AS k)
+              WHERE j < CAST(json_array_length(s, '$.seeAllAmenitiesGroups') AS BIGINT)
+                AND k < CAST(json_array_length(s, '$.seeAllAmenitiesGroups[' || j || '].amenities') AS BIGINT)
+            ),
+            amen AS (
+              -- group over ALL item rows with FILTER so a page whose
+              -- amenities are all unavailable yields '' (== Spark's
+              -- array_join of an empty array), not a dropped group
+              SELECT page_url,
+                     COALESCE(string_agg(CASE WHEN asub IS NOT NULL AND asub <> ''
+                                     THEN atitle || ' - ' || asub ELSE atitle END, '|' ORDER BY j, k)
+                              FILTER (WHERE avail), '') AS amenities,
+                     COALESCE(string_agg(regexp_extract(aid, '^(?:[a-z0-9]+_)+([0-9]+)_', 1), '|' ORDER BY j, k)
+                              FILTER (WHERE avail), '') AS amenity_ids
+              FROM am_items GROUP BY page_url
+            ),
+            ga AS (
+              SELECT page_url, k, atitle, asub,
+                     j, MIN(j) OVER (PARTITION BY page_url) AS mj
+              FROM am_items WHERE gtitle = 'Guest access'
+            ),
+            access AS (
+              SELECT page_url,
+                     string_agg(CASE WHEN asub IS NOT NULL AND asub <> ''
+                                     THEN atitle || ': ' || asub ELSE atitle END, chr(10) ORDER BY k) AS access
+              FROM ga WHERE j = mj GROUP BY page_url
+            ),
+            rules AS (
+              SELECT page_url,
+                     string_agg(json_extract_string(s, '$.houseRules[' || i || '].title'), '|' ORDER BY i) AS house_rules,
+                     MAX(CASE WHEN json_extract_string(s, '$.houseRules[' || i || '].title')
+                              = 'No parties or events' THEN 1 ELSE 0 END) = 1 AS allows_events
+              FROM (SELECT page_url, s FROM secs WHERE sid = 'POLICIES_DEFAULT'),
+                   (SELECT unnest(range(0, 16)) AS i)
+              WHERE i < CAST(json_array_length(s, '$.houseRules') AS BIGINT)
+              GROUP BY page_url
+            ),
+            expect AS (
+              SELECT page_url,
+                     string_agg(CASE WHEN json_extract_string(s, '$.listingExpectations[' || i || '].subtitle') IS NOT NULL
+                                      AND json_extract_string(s, '$.listingExpectations[' || i || '].subtitle') <> ''
+                                     THEN json_extract_string(s, '$.listingExpectations[' || i || '].title') || ': '
+                                          || json_extract_string(s, '$.listingExpectations[' || i || '].subtitle')
+                                     ELSE json_extract_string(s, '$.listingExpectations[' || i || '].title') END,
+                                chr(10) ORDER BY i) AS listing_expectations
+              FROM (SELECT page_url, s FROM secs WHERE sid = 'POLICIES_DEFAULT'),
+                   (SELECT unnest(range(0, 16)) AS i)
+              WHERE i < CAST(json_array_length(s, '$.listingExpectations') AS BIGINT)
+              GROUP BY page_url
+            ),
+            pol AS (
+              SELECT page_url,
+                     json_extract_string(s, '$.additionalHouseRules') AS additional_house_rules
+              FROM secs WHERE sid = 'POLICIES_DEFAULT'
+            )
+            SELECT src.page_url,
+                   json_extract_string(pdp, '$.id') AS listing_id,
+                   COALESCE(access.access, '') AS access,
+                   COALESCE(pol.additional_house_rules, '') AS additional_house_rules,
+                   COALESCE(rules.allows_events, FALSE) AS allows_events,
+                   COALESCE(amen.amenities, '') AS amenities,
+                   COALESCE(amen.amenity_ids, '') AS amenity_ids,
+                   COALESCE(rules.house_rules, '') AS house_rules,
+                   CAST(json_extract_string(pdp, '$.metadata.bookingPrefetchData.isHotelRatePlanEnabled') AS BOOLEAN) AS is_hotel,
+                   COALESCE(expect.listing_expectations, '') AS listing_expectations,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.accuracyRating') AS DOUBLE) AS rating_accuracy,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.checkinRating') AS DOUBLE) AS rating_checkin,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.cleanlinessRating') AS DOUBLE) AS rating_cleanliness,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.communicationRating') AS DOUBLE) AS rating_communication,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.locationRating') AS DOUBLE) AS rating_location,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.valueRating') AS DOUBLE) AS rating_value,
+                   CAST(json_extract_string(pdp, '$.metadata.loggingContext.eventDataLogging.guestSatisfactionOverall') AS DOUBLE) AS satisfaction_guest,
+                   'https://www.airbnb.com/rooms/' || json_extract_string(pdp, '$.id') AS listing_url
+            FROM src
+            LEFT JOIN amen USING (page_url)
+            LEFT JOIN access USING (page_url)
+            LEFT JOIN rules USING (page_url)
+            LEFT JOIN expect USING (page_url)
+            LEFT JOIN pol USING (page_url)
         """,
         "listings_extract": f"""
             WITH {_ITEMS_CTE}
