@@ -907,6 +907,39 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(os.path.join(root, "out")).select("url")
 
 
+def q_discount_filters(spark, sf_dir):
+    """F3/F4 (pipelines.py:73-77): discount minimums incl. the reference's
+    F4 BUG kept under strict_parity — the weekly check compares against
+    the MONTHLY threshold. Discounts derive from the fixture's price
+    factors (floor((1-factor)*100)); the oracle recomputes the same
+    derivation and the same buggy comparison."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.pipeline import apply_pipeline
+
+    parse_cfg = EngineConfig()
+    cfg = EngineConfig(
+        minimum_monthly_discount=10, minimum_weekly_discount=3,
+        minimum_photos=0, property_type_blacklist=(), strict_parity=True,
+    )
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), parse_cfg
+    )
+    listings = res.select(
+        F.col("listing_id").alias("id"),
+        F.col("page_url").alias("url"),
+        F.floor((F.lit(1.0) - F.col("monthly_price_factor")) * 100).cast("int").alias("monthly_discount"),
+        F.floor((F.lit(1.0) - F.col("weekly_price_factor")) * 100).cast("int").alias("weekly_discount"),
+    ).where(F.col("monthly_discount").isNotNull() & F.col("weekly_discount").isNotNull())
+    out = apply_pipeline(listings, cfg)
+    return out.select(
+        F.col("id").alias("listing_id"),
+        F.col("monthly_discount").cast("int").alias("monthly_discount"),
+        F.col("weekly_discount").cast("int").alias("weekly_discount"),
+    )
+
+
 def q_neighborhoods(spark, sf_dir):
     """P20 + A3 (airbnb.py:177-196, behind cfg): explore-tabs metadata →
     neighborhood rows; the <300-listings gate empties small hosts, the id
@@ -980,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdp_extract": q_pdp_extract,
         "reviews_assembled": q_reviews_assembled,
         "pipeline_filters": q_pipeline_filters,
+        "discount_filters": q_discount_filters,
         "neighborhoods": q_neighborhoods,
         "room_type_filter": q_room_type_filter,
         # ST2 stateful streaming twins (r2)
@@ -1083,6 +1117,26 @@ def _oracle_sql_build() -> dict[str, str]:
     return {
         "page_text_extract": f"""
             SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')
+        """,
+        "discount_filters": f"""
+            WITH {_ITEMS_CTE},
+            disc AS (
+              SELECT listing_id AS id, page_url AS url,
+                     CAST(FLOOR((1.0 - monthly_price_factor) * 100) AS INT) AS monthly_discount,
+                     CAST(FLOOR((1.0 - weekly_price_factor) * 100) AS INT) AS weekly_discount
+              FROM kept
+              WHERE monthly_price_factor IS NOT NULL AND weekly_price_factor IS NOT NULL
+            ),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY url) AS rn FROM disc
+              ) WHERE rn = 1
+            )
+            SELECT id AS listing_id, monthly_discount, weekly_discount
+            FROM dedup
+            -- F4 reference bug under strict_parity: BOTH checks use the
+            -- MONTHLY threshold (10), though weekly minimum is 3
+            WHERE monthly_discount >= 10 AND weekly_discount >= 10
         """,
         "pdp_extract": f"""
             WITH src AS (
