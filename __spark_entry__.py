@@ -907,6 +907,31 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(os.path.join(root, "out")).select("url")
 
 
+def q_geo_enrich(spark, sf_dir):
+    """J2 (ExploreSearch.py:91, PdpPlatformSections.py:130): per-PAGE
+    geography struct enrichment — city falls back listing→geography,
+    country/place_id/state come only from geography. The engine carries
+    geography per search page (fixing the reference's single mutable
+    dict, a last-write race on multi-host crawls); the oracle recomputes
+    from the same JSON."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), EngineConfig()
+    )
+    geo = F.col("geography")
+    return res.select(
+        "listing_id",
+        F.coalesce(F.col("city"), geo["city"]).alias("city"),
+        geo["city"].alias("geo_city"),
+        geo["country"].alias("country"),
+        geo["placeId"].alias("place_id"),
+        F.coalesce(geo["state"], F.lit("")).alias("state"),
+    )
+
+
 def q_discount_filters(spark, sf_dir):
     """F3/F4 (pipelines.py:73-77): discount minimums incl. the reference's
     F4 BUG kept under strict_parity — the weekly check compares against
@@ -1014,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reviews_assembled": q_reviews_assembled,
         "pipeline_filters": q_pipeline_filters,
         "discount_filters": q_discount_filters,
+        "geo_enrich": q_geo_enrich,
         "neighborhoods": q_neighborhoods,
         "room_type_filter": q_room_type_filter,
         # ST2 stateful streaming twins (r2)
@@ -1054,24 +1080,25 @@ def _marker_sum_sql(lang: str) -> str:
 # exploded by index — DuckDB JSON, fully independent of the Spark path
 _ITEMS_CTE = f"""
     src AS (
-      SELECT url, text, json_extract(text, '$.data.dora.exploreV3.sections') AS secs
+      SELECT url, text, json_extract(text, '$.data.dora.exploreV3.sections') AS secs,
+             json_extract(text, '$.data.dora.exploreV3.metadata.geography') AS geo
       FROM read_parquet('{_FIXTURE_PAGES}')
       WHERE url LIKE '%/api/v3/ExploreSearch%'
     ),
     sec AS (
-      SELECT url, json_extract(secs, '$[' || i || ']') AS sec
+      SELECT url, geo, json_extract(secs, '$[' || i || ']') AS sec
       FROM src, (SELECT unnest(range(0, 16)) AS i)
       WHERE i < json_array_length(secs)
         AND json_extract_string(secs, '$[' || i || '].sectionComponentType')
             = 'listings_ListingsGrid_Explore'
     ),
     item AS (
-      SELECT url AS page_url, json_extract(sec, '$.items[' || j || ']') AS it
+      SELECT url AS page_url, geo, json_extract(sec, '$.items[' || j || ']') AS it
       FROM sec, (SELECT unnest(range(0, 32)) AS j)
       WHERE j < json_array_length(sec, '$.items')
     ),
     fields AS (
-      SELECT page_url,
+      SELECT page_url, geo,
              json_extract_string(it, '$.listing.id') AS listing_id,
              json_extract_string(it, '$.listing.name') AS name,
              json_extract_string(it, '$.listing.city') AS city,
@@ -1117,6 +1144,16 @@ def _oracle_sql_build() -> dict[str, str]:
     return {
         "page_text_extract": f"""
             SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')
+        """,
+        "geo_enrich": f"""
+            WITH {_ITEMS_CTE}
+            SELECT listing_id,
+                   COALESCE(city, json_extract_string(geo, '$.city')) AS city,
+                   json_extract_string(geo, '$.city') AS geo_city,
+                   json_extract_string(geo, '$.country') AS country,
+                   json_extract_string(geo, '$.placeId') AS place_id,
+                   COALESCE(json_extract_string(geo, '$.state'), '') AS state
+            FROM kept
         """,
         "discount_filters": f"""
             WITH {_ITEMS_CTE},
