@@ -907,6 +907,25 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(os.path.join(root, "out")).select("url")
 
 
+def q_landing_extract(spark, sf_dir):
+    """P2 (airbnb.py:129-147): landing HTML → data-deferred-state script
+    extraction, niobeMinimalClientData[0][0] unwrap with the
+    `^StaysSearch:` strip, and the /s/<query>/homes query derivation.
+    The candidate URL synthesis on top of this is pinned by the URL
+    round-trip pytest (every emitted URL resolves in the fixture world)."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+
+    pages = _fixture_pages(spark)
+    out, _ = P.parse_landing(
+        pages.where(P.page_type_col() == "landing"), P.CrawlArgs(*_PARSE_ARGS), EngineConfig()
+    )
+    return out.select(
+        "parent_url", "host", "query",
+        F.coalesce("deferred_ok", F.lit(False)).alias("deferred_ok"),
+    )
+
+
 def q_geo_enrich(spark, sf_dir):
     """J2 (ExploreSearch.py:91, PdpPlatformSections.py:130): per-PAGE
     geography struct enrichment — city falls back listing→geography,
@@ -1040,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filters": q_pipeline_filters,
         "discount_filters": q_discount_filters,
         "geo_enrich": q_geo_enrich,
+        "landing_extract": q_landing_extract,
         "neighborhoods": q_neighborhoods,
         "room_type_filter": q_room_type_filter,
         # ST2 stateful streaming twins (r2)
@@ -1144,6 +1164,30 @@ def _oracle_sql_build() -> dict[str, str]:
     return {
         "page_text_extract": f"""
             SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')
+        """,
+        "landing_extract": f"""
+            WITH src AS (
+              SELECT url AS parent_url,
+                     regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                     regexp_extract(decode(html),
+                                    '<script id="data-deferred-state">(.*?)</script>', 1) AS script
+              FROM read_parquet('{_FIXTURE_PAGES}')
+              -- page_type_col's 'landing' = the OTHERWISE branch: not one
+              -- of the three v3 apis, not robots.txt (api/v2 explore_tabs
+              -- classifies as landing too and must be included)
+              WHERE url NOT LIKE '%/api/v3/ExploreSearch%'
+                AND url NOT LIKE '%/api/v3/PdpPlatformSections%'
+                AND url NOT LIKE '%/api/v3/PdpReviews%'
+                AND url NOT LIKE '%/robots.txt'
+            )
+            SELECT parent_url, host,
+                   regexp_replace(regexp_replace(
+                       regexp_extract(parent_url, '/s/(.+)/homes', 1), '--', ', ', 'g'),
+                       '-', ' ', 'g') AS query,
+                   COALESCE(regexp_replace(
+                       json_extract_string(NULLIF(script, ''), '$.niobeMinimalClientData[0][0]'),
+                       '^StaysSearch:', '') LIKE '{{%', FALSE) AS deferred_ok
+            FROM src
         """,
         "geo_enrich": f"""
             WITH {_ITEMS_CTE}
