@@ -285,6 +285,7 @@ def frontier_ingest_stream(
     Returns the started StreamingQuery; state lives under *root*
     (resumable: pass the same root + checkpoint to continue).
     """
+    import json
     import os
 
     from frontier_engine import seen as S
@@ -297,8 +298,24 @@ def frontier_ingest_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(cands_dir)
     )
-    store = SeenExactStore(spark, os.path.join(root, "seen"), n_buckets=cfg.seen_exact_buckets)
-    state = {"shards": S.empty_shards(spark)}
+    # engine-state manifest (atomic os.replace, same discipline as
+    # snapshots.py): the streaming checkpoint only remembers which FILES
+    # were read — the seen store + shard blobs must survive a restart too
+    meta_path = os.path.join(root, "ingest_meta.json")
+    seen_root = os.path.join(root, "seen")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        store = SeenExactStore.from_meta(spark, seen_root, meta["seen"])
+        shards0 = (
+            spark.read.parquet(meta["shards_path"])
+            if meta.get("shards_path")
+            else S.empty_shards(spark)
+        )
+    else:
+        store = SeenExactStore(spark, seen_root, n_buckets=cfg.seen_exact_buckets)
+        shards0 = S.empty_shards(spark)
+    state = {"shards": shards0}
     shards_root = os.path.join(root, "shards")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -322,6 +339,10 @@ def frontier_ingest_stream(
             spath = os.path.join(shards_root, f"b{batch_id}")
             new_shards.write.mode("overwrite").parquet(spath)
             state["shards"] = spark.read.parquet(spath)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"seen": store.to_meta(), "shards_path": spath}, f)
+            os.replace(tmp, meta_path)
         unseen.unpersist()
 
     return (

@@ -182,3 +182,39 @@ def test_frontier_ingest_stream_matches_batch_dedup(spark, tmp_path, cfg):
     parts = g.glob(os.path.join(root, "seen", "*snap-*"))
     canon = {r.canon_url for r in spark.read.parquet(*parts).collect()}
     assert len(canon) == 4
+
+
+def test_frontier_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stop after the first batch set, drop MORE files, restart with the
+    same checkpoint: only the new files process, the store keeps its
+    earlier state, and cross-restart dups still collapse."""
+    import os
+    import time
+
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.streaming import frontier_ingest_stream
+
+    scfg = EngineConfig(n_seen_shards=4, bloom_bits_per_shard=1 << 14)
+    src = _mk_url_slices(spark, tmp_path, [["https://a.example/1", "https://a.example/2"]])
+    root = os.path.join(str(tmp_path), "ingest")
+    ck = os.path.join(str(tmp_path), "ck")
+    q = frontier_ingest_stream(spark, src, root, ck, scfg)
+    q.awaitTermination(120)
+
+    # second wave: one dup of wave 1, one new
+    import glob, shutil
+    df = spark.createDataFrame([("https://a.example/2",), ("https://b.example/3",)], "url string")
+    d = os.path.join(str(tmp_path), "w-extra")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    dst = os.path.join(src, "slice-9.parquet")
+    shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+    os.utime(dst, (time.time() + 60, time.time() + 60))
+
+    q2 = frontier_ingest_stream(spark, src, root, ck, scfg)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(os.path.join(root, "unseen"))
+    urls = sorted(r.url for r in out.select("url").collect())
+    assert urls == ["https://a.example/1", "https://a.example/2", "https://b.example/3"]
+    # the dup url appears exactly once, from the FIRST run's batch
+    assert out.where("url = 'https://a.example/2'").select("batch_id").first()[0] == 0
