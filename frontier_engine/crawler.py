@@ -141,9 +141,13 @@ def _ingest_candidates(
     rules: DataFrame,
     cfg: EngineConfig,
     seq_offset: int,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int, DataFrame]:
     """candidates (url, parent_url, depth, listing_score) →
-    (pending_rows, blocked_rows, new_shards, unseen, n_unseen).
+    (pending_rows, blocked_rows, new_shards, unseen, n_unseen, cache_handle).
+
+    ``cache_handle`` is the frame assign_discovered_seq_counted actually
+    persisted; the caller MUST unpersist it after the round's commit
+    (unpersisting a derived frame is a no-op — ADVICE r2 leak).
 
     Mirrors simulator.enqueue exactly: within-round dedupe keeps the
     (depth, parent_url, url)-least row per canon url; discovered_seq is
@@ -163,7 +167,7 @@ def _ingest_candidates(
         deduped, shards, seen_parts, cfg.n_seen_shards, n_units,
         cfg.bloom_num_hashes, filter_kind=cfg.seen_filter_kind,
     )
-    unseen, n_unseen = assign_discovered_seq_counted(unseen, seq_offset)
+    unseen, n_unseen, cache_handle = assign_discovered_seq_counted(unseen, seq_offset)
 
     if cuckoo:
         from frontier_engine.cuckoo import update_cuckoo_shards
@@ -186,7 +190,10 @@ def _ingest_candidates(
         F.col("discovered_seq").cast("long").alias("discovered_seq"),
         F.lit(status).alias("status"),
     )
-    return mk(allowed, "pending"), mk(blocked, "robots_blocked"), new_shards, unseen, n_unseen
+    return (
+        mk(allowed, "pending"), mk(blocked, "robots_blocked"),
+        new_shards, unseen, n_unseen, cache_handle,
+    )
 
 
 def run_crawl(
@@ -246,7 +253,7 @@ def run_crawl(
             F.lit(0).alias("depth"),
             F.lit(0.0).alias("listing_score"),
         )
-        pending, blocked, new_shards, unseen, n_new = _ingest_candidates(
+        pending, blocked, new_shards, unseen, n_new, cache_handle = _ingest_candidates(
             seed_cands, S.empty_shards(spark), [], rules, cfg, 0
         )
         seen_store.append(unseen, 0, n_new=n_new)
@@ -265,7 +272,7 @@ def run_crawl(
         entry["meta"]["frontier"] = fstate.to_meta()
         entry["meta"]["seen_exact"] = seen_store.to_meta()
         store.publish(entry)
-        unseen.unpersist()
+        cache_handle.unpersist()
         shards = spark.read.parquet(entry["tables"]["seen_shards"]["path"])
 
     rounds_done = start_round - 1
@@ -278,6 +285,7 @@ def run_crawl(
         batch = ranked.cache()
         n_batch = batch.count()
         if n_batch == 0:
+            batch.unpersist()  # don't leak the cached frame on the exit path
             break
         rounds_done = rnd
 
@@ -305,7 +313,7 @@ def run_crawl(
         for cdf in cand_frames[1:]:
             candidates = candidates.unionByName(cdf)
 
-        new_pending, new_blocked, shards, unseen, n_new = _ingest_candidates(
+        new_pending, new_blocked, shards, unseen, n_new, cache_handle = _ingest_candidates(
             candidates, shards, seen_store.parts(), rules, cfg, seq_offset
         )
         new_rows = new_pending.unionByName(new_blocked)
@@ -361,8 +369,9 @@ def run_crawl(
         shards = spark.read.parquet(entry["tables"]["seen_shards"]["path"])
         batch.unpersist()
         fetched.unpersist()
-        unseen.unpersist()
+        cache_handle.unpersist()  # the ACTUAL persisted frame (not the derived unseen)
 
+    rules.unpersist()
     outputs = {}
     for name in OUTPUT_TABLES:
         path = os.path.join(out_dir, name)

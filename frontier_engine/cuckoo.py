@@ -18,7 +18,22 @@ the partial-key cuckoo rule::
     b1  = h mod n_buckets
     b2  = (b1 XOR spread(fp)) mod n_buckets     -- self-inverse
 
-so eviction needs only (slot value, current bucket). At 4 slots/bucket
+``n_buckets`` MUST be a power of two: the XOR-then-mod alternate-bucket
+rule is only self-inverse when the mod acts as a bitmask (alt(alt(b)) ==
+b); a non-power-of-two table would relocate evicted fingerprints to
+buckets ``contains`` never probes — silent false negatives. Validated at
+every entry point.
+
+Deletion discipline (standard cuckoo-filter rule, Fan et al. §3.2): the
+table is a MULTISET of fingerprint copies — ``insert`` always adds a
+slot copy, even when an equal fingerprint is already present, so two
+different keys that collide on (bucket, fingerprint) hold two copies and
+``delete`` of one key removes exactly one copy, leaving the other key's
+membership intact. The crawler only ever inserts unseen-filtered keys,
+so duplicate copies arise only from genuine collisions, keeping load
+overhead negligible.
+
+So eviction needs only (slot value, current bucket). At 4 slots/bucket
 the filter holds ~95% load; inserts that still fail after the eviction
 walk go to a per-shard stash (kept in the blob tail) — membership stays
 false-negative-free at any load.
@@ -37,6 +52,15 @@ STASH_MAX = 64
 _EVICT_LIMIT = 500
 
 
+def _check_buckets(n_buckets: int) -> None:
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1):
+        raise ValueError(
+            f"cuckoo n_buckets must be a power of two (got {n_buckets}): "
+            "the XOR alternate-bucket rule is only self-inverse under a "
+            "bitmask mod — round up to the next power of two"
+        )
+
+
 def _fingerprint(h: np.ndarray) -> np.ndarray:
     fp = ((h.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp[fp == 0] = 1  # 0 marks an empty slot
@@ -52,6 +76,7 @@ def _alt_bucket(b: np.ndarray | int, fp: np.ndarray | int, n_buckets: int):
 
 def empty_filter(n_buckets: int) -> bytes:
     """Serialized empty shard: table || stash (stash fixed-size, fp=0 empty)."""
+    _check_buckets(n_buckets)
     table = np.zeros(n_buckets * SLOTS, dtype=np.uint16)
     stash = np.zeros(STASH_MAX, dtype=np.uint16)
     return table.tobytes() + stash.tobytes()
@@ -69,7 +94,11 @@ def _dump(table: np.ndarray, stash: np.ndarray) -> bytes:
 def insert(blob: bytes, hashes: np.ndarray, n_buckets: int) -> bytes:
     """Insert keys; returns the new blob. Vectorized first-try placement
     into b1/b2; the (rare) leftovers run the sequential eviction walk.
+    Always stores one slot copy PER KEY (multiset — see module docstring:
+    collision-safe deletes require it; the caller inserts only unseen
+    keys, so copies arise only from genuine (bucket, fp) collisions).
     Raises only if the stash also overflows — size shards so load ≤ 0.9."""
+    _check_buckets(n_buckets)
     table, stash = _load(blob, n_buckets)
     h = hashes.astype(np.uint64)
     fp = _fingerprint(h)
@@ -82,9 +111,6 @@ def insert(blob: bytes, hashes: np.ndarray, n_buckets: int) -> bytes:
         placed = False
         for b in (x1, x2):
             row = table[b]
-            if fpi in row:  # already present — idempotent insert
-                placed = True
-                break
             empty = np.where(row == 0)[0]
             if empty.size:
                 table[b, empty[0]] = fpi
@@ -115,6 +141,7 @@ def insert(blob: bytes, hashes: np.ndarray, n_buckets: int) -> bytes:
 
 def contains(blob: bytes, hashes: np.ndarray, n_buckets: int) -> np.ndarray:
     """Vectorized membership (no false negatives for inserted keys)."""
+    _check_buckets(n_buckets)
     table, stash = _load(blob, n_buckets)
     h = hashes.astype(np.uint64)
     fp = _fingerprint(h)
@@ -127,9 +154,14 @@ def contains(blob: bytes, hashes: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def delete(blob: bytes, hashes: np.ndarray, n_buckets: int) -> bytes:
-    """Remove one slot per matching fingerprint (TTL/recrawl expiry). A
-    key never inserted is a no-op (may clear a colliding fingerprint —
-    acceptable: the filter only prunes the exact-confirm join)."""
+    """Remove ONE slot copy per matching fingerprint (TTL/recrawl expiry).
+    Because ``insert`` keeps one copy per inserted key, deleting key A
+    leaves a colliding key B's copy in place — no false negatives for
+    still-live keys. Deleting a never-inserted key may clear a colliding
+    copy, which is why the crawler's expire path only deletes keys it
+    confirmed in ``seen_exact``; even then the filter only prunes the
+    exact-confirm join, so semantics never change."""
+    _check_buckets(n_buckets)
     table, stash = _load(blob, n_buckets)
     h = hashes.astype(np.uint64)
     fp = _fingerprint(h)

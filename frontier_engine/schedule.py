@@ -100,15 +100,25 @@ def assign_discovered_seq(
     map-side-aggregated per-partition count (``n_parts`` rows to the
     driver). A 10^7-candidate round runs as ``n_parts`` parallel sorts.
     """
-    return assign_discovered_seq_counted(candidates, seq_offset, n_parts)[0]
+    out, _n, handle = assign_discovered_seq_counted(candidates, seq_offset, n_parts)
+    handle.unpersist()  # convenience path: caller consumes eagerly
+    return out
 
 
 def assign_discovered_seq_counted(
     candidates: DataFrame, seq_offset: int, n_parts: int | None = None
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """assign_discovered_seq + the round's candidate count for free (the
     per-partition count job already totals it — saves the crawler a
-    separate count pass)."""
+    separate count pass).
+
+    Returns ``(out, total, persisted_handle)``. The THIRD element is the
+    actually-persisted DataFrame: derived frames (withColumn/drop plans)
+    do NOT uncache it — Spark's uncacheQuery matches the exact cached
+    plan — so the caller must call ``handle.unpersist()`` once the
+    round's outputs are materialized (ADVICE r2: the crawler's
+    ``unseen.unpersist()`` was a silent no-op, leaking one cached frame
+    per round)."""
     keys = ["depth", "parent_url", "url"]
     spark = candidates.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
@@ -152,4 +162,4 @@ def assign_discovered_seq_counted(
             + F.lit(1)
         ),
     ).drop("_mid")
-    return out, total
+    return out, total, ranged

@@ -68,6 +68,10 @@ class SeenExactStore:
         self.tomb_paths: list[str] = []  # TTL-expired keys (recrawl)
         self._base_rows: int = 0
         self._delta_rows: int = 0
+        # set when an append consolidated tombstones: a re-seen key's
+        # dropped tombstone re-exposes its ORIGINAL base row while the new
+        # delta row also exists — the next compact must dedupe (ADVICE r2)
+        self._needs_dedup: bool = False
         os.makedirs(root, exist_ok=True)
 
     # ---- manifest (de)serialization -------------------------------------
@@ -79,6 +83,7 @@ class SeenExactStore:
             "base_rows": self._base_rows,
             "delta_rows": self._delta_rows,
             "n_buckets": self.n_buckets,
+            "needs_dedup": self._needs_dedup,
         }
 
     @classmethod
@@ -89,6 +94,7 @@ class SeenExactStore:
         st.tomb_paths = list(meta.get("tomb_paths", []))
         st._base_rows = int(meta.get("base_rows", 0))
         st._delta_rows = int(meta.get("delta_rows", 0))
+        st._needs_dedup = bool(meta.get("needs_dedup", False))
         if st.base_path:
             st._register(st.base_path)
         return st
@@ -175,6 +181,11 @@ class SeenExactStore:
                 .parquet(merged)
             )
             self.tomb_paths = [merged]
+            # a dropped tombstone re-exposes the key's original base row
+            # next to its fresh delta row — conservative flag (exact
+            # detection would cost a count job); the dedup runs once, at
+            # the next compact, and only on TTL-using crawls
+            self._needs_dedup = True
         self.delta_paths.append(path)
         if n_new is None:
             n_new = self.spark.read.parquet(path).count()
@@ -199,13 +210,22 @@ class SeenExactStore:
 
     def compact(self, snap_id: int | str) -> None:
         """Fold deltas into a fresh bucketed base (Iceberg
-        rewrite_data_files analog). Rows are already unique — the crawler
-        only appends unseen-filtered rows — so no dedup pass is needed;
-        a defensive dropDuplicates would re-shuffle what bucketBy already
-        shuffles, and bucketBy's own exchange is the only one here.
+        rewrite_data_files analog). Rows are unique on the pure-append
+        path — the crawler only appends unseen-filtered rows — so the
+        common case skips the dedup pass (a defensive dropDuplicates
+        would re-shuffle what bucketBy already shuffles). The EXCEPTION
+        is the expire→re-seen path (``_needs_dedup``): a re-seen key
+        holds both its re-exposed base row and a fresh delta row, and
+        baking both into the new base would inflate it permanently —
+        dedupe by url_hash then (any row wins: url_hash = xxhash64 of
+        canon_url, so equal hashes carry equal payloads).
         Tombstoned keys fall out here (as_df reads through parts(), which
         subtracts them) and the tombstone list resets."""
-        self._write_base(self.as_df(), snap_id)
+        df = self.as_df()
+        if self._needs_dedup:
+            df = df.dropDuplicates(["url_hash"])
+        self._write_base(df, snap_id)
         self.delta_paths = []
         self.tomb_paths = []
         self._delta_rows = 0
+        self._needs_dedup = False

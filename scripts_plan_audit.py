@@ -59,7 +59,7 @@ def main():
 
     print("=" * 20, "3. assign_discovered_seq (no single-partition window)")
     cand3 = cand.select("url", F.lit(0).alias("depth"), F.lit("").alias("parent_url"))
-    out, n = assign_discovered_seq_counted(cand3, 0)
+    out, n, _seq_handle = assign_discovered_seq_counted(cand3, 0)
     p = plan(out)
     print(p[:3000])
     has_global_window = "Window" in p and "partitionBy" not in p

@@ -161,3 +161,22 @@ def test_time_travel_resume_is_idempotent(spark, small_spec, small_world, small_
     m1 = full.outputs["metrics"].count()
     m2 = replay.outputs["metrics"].count()
     assert m1 == m2
+
+
+def test_no_cached_frames_leak_across_rounds(spark, small_spec, small_world, tmp_path_factory):
+    """ADVICE r2: assign_discovered_seq_counted persisted a frame the
+    crawler's derived-frame unpersist never released — one cached
+    round-candidate frame leaked per round (unbounded executor storage on
+    a long crawl). Guard: after run_crawl returns, the session holds no
+    more persistent RDDs than before it started."""
+    cfg = EngineConfig(n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2)
+    args = CrawlArgs(small_spec.checkin, small_spec.checkout, small_spec.price_max)
+    pages = spark.createDataFrame(small_world["pages"])
+    seeds = spark.createDataFrame(small_world["seeds"][["url"]])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    run_crawl(
+        spark, pages, cfg, args, seeds=seeds, max_rounds=40,
+        snapshot_dir=str(tmp_path_factory.mktemp("snap-leak")),
+    )
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"cached frames leaked: {before} -> {after}"

@@ -41,11 +41,26 @@ def test_delete_removes_membership_and_is_safe():
     assert C.contains(blob2, kept, NB).mean() > 0.95
 
 
-def test_insert_idempotent():
-    keys = _keys(500, 6)
-    b1 = C.insert(C.empty_filter(NB), keys, NB)
-    b2 = C.insert(b1, keys, NB)
-    assert b1 == b2  # re-inserting present fingerprints changes nothing
+def test_colliding_keys_survive_delete_of_one():
+    """Two DIFFERENT keys that collide on (bucket, fingerprint) must both
+    keep one slot copy, so deleting one never erases the other's
+    membership (the ADVICE r2 false-negative bug: an idempotent insert
+    stored a single copy for both)."""
+    fp = 5
+    a = np.array([(fp << 48) | 100], dtype=np.int64)          # b1 = 100
+    b = np.array([(fp << 48) | 100 + NB * 7], dtype=np.int64)  # same fp, same b1
+    blob = C.insert(C.empty_filter(NB), np.concatenate([a, b]), NB)
+    blob = C.delete(blob, a, NB)
+    assert C.contains(blob, b, NB).all()  # B still a member
+    blob = C.delete(blob, b, NB)
+    assert not C.contains(blob, b, NB).any()  # both copies now gone
+
+
+def test_non_power_of_two_buckets_rejected():
+    with pytest.raises(ValueError, match="power of two"):
+        C.empty_filter(1000)
+    with pytest.raises(ValueError, match="power of two"):
+        C.insert(C.empty_filter(NB), _keys(5, 8), 1000)
 
 
 def test_high_load_uses_stash_not_failure():

@@ -43,10 +43,11 @@ def test_bucketed_confirm_join_moves_only_probe_side(spark, cand, tmp_path):
 
 def test_assign_discovered_seq_has_no_window_node(cand):
     c = cand.select("url", F.lit(0).alias("depth"), F.lit("").alias("parent_url"))
-    out, n = assign_discovered_seq_counted(c, 0)
+    out, n, handle = assign_discovered_seq_counted(c, 0)
     p = _plan(out)
     assert n == 20_000
     assert "Window" not in p, p  # range-partition + per-partition offsets
+    handle.unpersist()
 
 
 def test_rank_batch_has_no_single_partition_exchange(cand):

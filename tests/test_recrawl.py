@@ -151,3 +151,30 @@ def test_due_for_recrawl_policy(spark):
     # 1: 1000+5000<10000 due; 2: 9000+5000 not due; 3: 1000+500 due (override);
     # 4: 8000+5000 not due
     assert got == {(1, 5000), (3, 500)}
+
+
+def test_readd_then_compact_has_no_duplicate_rows(spark, tmp_path, cfgs):
+    """ADVICE r2: a re-seen key's dropped tombstone re-exposes its
+    ORIGINAL base row next to the fresh delta row; compact must not bake
+    the duplicate into the bucketed base (inflating base_rows, seen_exact
+    outputs, and compaction-trigger accounting forever)."""
+    cfg = cfgs["bloom"]
+    store = SeenExactStore(spark, str(tmp_path / "seen4"), n_buckets=4)
+    cands = _cands(spark, range(1, 31))
+    shards = _update_shards(cands, S.empty_shards(spark), cfg).cache()
+    shards.count()
+    store.append(cands, 0)  # promotes to bucketed base
+
+    shards = expire_urls(
+        _cands(spark, [5, 9]).select("url_hash"), store, shards, cfg, snap_id=1
+    ).cache()
+    shards.count()
+    readd = _filter_unseen(_cands(spark, [5, 9]), shards, store, cfg)
+    store.append(readd, 2)  # drops the tombstones -> base rows re-exposed
+
+    store.compact(3)
+    df = store.as_df()
+    assert df.count() == 30  # not 32
+    assert df.select("url_hash").distinct().count() == 30
+    assert store._base_rows == 30
+    assert not store._needs_dedup
