@@ -134,6 +134,37 @@ class _FrontierState:
         return self.status_rows > total * ratio or len(self.status_paths) > 16
 
 
+class _ShardState:
+    """Merge-on-read LSM over the bloom/cuckoo shard blobs (round-3
+    commit-bytes fix): per-round commits write ONLY the dirty shards;
+    untouched blobs carry forward by manifest reference. Folded into a
+    fresh base when the delta chain grows past ``COMPACT_CHAIN`` (same
+    amortized-rewrite discipline as seen_store / the frontier)."""
+
+    COMPACT_CHAIN = 8
+
+    def __init__(self, spark: SparkSession, base_path: str | None, delta_paths: list[str]):
+        self.spark = spark
+        self.base_path = base_path
+        self.delta_paths = delta_paths
+
+    def to_meta(self) -> dict:
+        return {"base_path": self.base_path, "delta_paths": self.delta_paths}
+
+    @classmethod
+    def from_meta(cls, spark: SparkSession, meta: dict, legacy_path: str | None = None):
+        if meta:
+            return cls(spark, meta.get("base_path"), list(meta.get("delta_paths", [])))
+        # manifests written before the dirty-shard mode: one full table
+        return cls(spark, legacy_path, [])
+
+    def view(self) -> DataFrame:
+        return S.resolve_shards(self.spark, self.base_path, self.delta_paths)
+
+    def should_compact(self) -> bool:
+        return len(self.delta_paths) >= self.COMPACT_CHAIN
+
+
 def _ingest_candidates(
     cands: DataFrame,
     shards: DataFrame,
@@ -145,9 +176,12 @@ def _ingest_candidates(
     """candidates (url, parent_url, depth, listing_score) →
     (pending_rows, blocked_rows, new_shards, unseen, n_unseen, cache_handle).
 
-    ``cache_handle`` is the frame assign_discovered_seq_counted actually
-    persisted; the caller MUST unpersist it after the round's commit
-    (unpersisting a derived frame is a no-op — ADVICE r2 leak).
+    ``new_shards`` holds ONLY the dirty (touched) shard rows — the
+    caller commits it as a delta and resolves the full view via
+    _ShardState (round-3 commit-bytes fix). ``cache_handle`` is the
+    frame assign_discovered_seq_counted actually persisted; the caller
+    MUST unpersist it after the round's commit (unpersisting a derived
+    frame is a no-op — ADVICE r2 leak).
 
     Mirrors simulator.enqueue exactly: within-round dedupe keeps the
     (depth, parent_url, url)-least row per canon url; discovered_seq is
@@ -172,10 +206,13 @@ def _ingest_candidates(
     if cuckoo:
         from frontier_engine.cuckoo import update_cuckoo_shards
 
-        new_shards = update_cuckoo_shards(unseen, shards, cfg.n_seen_shards, n_units)
+        new_shards = update_cuckoo_shards(
+            unseen, shards, cfg.n_seen_shards, n_units, dirty_only=True
+        )
     else:
         new_shards = S.update_shards(
-            unseen, shards, cfg.n_seen_shards, n_units, cfg.bloom_num_hashes
+            unseen, shards, cfg.n_seen_shards, n_units, cfg.bloom_num_hashes,
+            dirty_only=True,
         )
 
     allowed, blocked = split_allowed(unseen, rules, cfg)
@@ -234,7 +271,11 @@ def run_crawl(
         if snap_id is None:
             raise ValueError("resume=True but snapshot store is empty")
         meta = store.manifest(snap_id)["meta"]
-        shards = tables["seen_shards"]
+        sstate = _ShardState.from_meta(
+            spark, meta.get("shards", {}),
+            legacy_path=store.manifest(snap_id)["tables"]["seen_shards"]["path"],
+        )
+        shards = sstate.view()
         seen_store = SeenExactStore.from_meta(spark, seen_root, meta["seen_exact"])
         seen_store.compact_ratio = cfg.seen_compact_ratio
         fstate = _FrontierState.from_meta(spark, meta["frontier"])
@@ -269,11 +310,13 @@ def run_crawl(
             spark, [entry["tables"]["frontier_base"]["path"]], [], [],
             base_rows=entry["tables"]["frontier_base"]["rows"], status_rows=0,
         )
+        sstate = _ShardState(spark, entry["tables"]["seen_shards"]["path"], [])
         entry["meta"]["frontier"] = fstate.to_meta()
         entry["meta"]["seen_exact"] = seen_store.to_meta()
+        entry["meta"]["shards"] = sstate.to_meta()
         store.publish(entry)
         cache_handle.unpersist()
-        shards = spark.read.parquet(entry["tables"]["seen_shards"]["path"])
+        shards = sstate.view()
 
     rounds_done = start_round - 1
     for rnd in range(start_round, max_rounds + 1):
@@ -313,7 +356,7 @@ def run_crawl(
         for cdf in cand_frames[1:]:
             candidates = candidates.unionByName(cdf)
 
-        new_pending, new_blocked, shards, unseen, n_new, cache_handle = _ingest_candidates(
+        new_pending, new_blocked, shards_dirty, unseen, n_new, cache_handle = _ingest_candidates(
             candidates, shards, seen_store.parts(), rules, cfg, seq_offset
         )
         new_rows = new_pending.unionByName(new_blocked)
@@ -336,8 +379,16 @@ def run_crawl(
 
         # ---- atomic delta commit -----------------------------------------
         seen_store.append(unseen, rnd, n_new=n_new)
+        # dirty shards only (round-3): untouched blobs ride the manifest
+        scompact = sstate.should_compact()
+        shard_commit = (
+            S.resolve_shards(spark, sstate.base_path, sstate.delta_paths,
+                             extra_df=shards_dirty)
+            if scompact
+            else shards_dirty
+        )
         tables = {"frontier_delta": new_rows, "status_log": status_updates,
-                  "seen_shards": shards}
+                  "seen_shards": shard_commit}
         compact = fstate.should_compact(cfg.frontier_compact_ratio)
         if compact:
             # fold log+deltas into a fresh base (bounded, amortized
@@ -349,7 +400,7 @@ def run_crawl(
                 .drop("new_status")
                 .unionByName(new_rows)
             )
-            tables = {"frontier_base": base, "seen_shards": shards}
+            tables = {"frontier_base": base, "seen_shards": shard_commit}
         entry = store.commit(
             rnd, tables, meta={"round": rnd, "seq_offset": seq_offset}, finalize=False
         )
@@ -362,11 +413,16 @@ def run_crawl(
             fstate.status_paths.append(entry["tables"]["status_log"]["path"])
             fstate.base_rows += int(entry["tables"]["frontier_delta"]["rows"])
             fstate.status_rows += int(entry["tables"]["status_log"]["rows"])
+        if scompact:
+            sstate = _ShardState(spark, entry["tables"]["seen_shards"]["path"], [])
+        else:
+            sstate.delta_paths.append(entry["tables"]["seen_shards"]["path"])
         entry["meta"]["frontier"] = fstate.to_meta()
         entry["meta"]["seen_exact"] = seen_store.to_meta()
+        entry["meta"]["shards"] = sstate.to_meta()
         store.publish(entry)
 
-        shards = spark.read.parquet(entry["tables"]["seen_shards"]["path"])
+        shards = sstate.view()
         batch.unpersist()
         fetched.unpersist()
         cache_handle.unpersist()  # the ACTUAL persisted frame (not the derived unseen)

@@ -271,9 +271,11 @@ def delete_cuckoo_shards(expired, shards, n_shards: int, n_buckets: int):
     )
 
 
-def update_cuckoo_shards(new_urls, shards, n_shards: int, n_buckets: int):
+def update_cuckoo_shards(new_urls, shards, n_shards: int, n_buckets: int,
+                         dirty_only: bool = False):
     """Insert new url_hash keys into their cuckoo shard blobs (cogrouped
-    merge, same discipline as seen.update_shards)."""
+    merge, same discipline as seen.update_shards — including the
+    ``dirty_only`` emit-touched-shards-only commit mode)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from frontier_engine.seen import SHARD_SCHEMA, shard_id_col
@@ -284,6 +286,8 @@ def update_cuckoo_shards(new_urls, shards, n_shards: int, n_buckets: int):
 
     def merge(key, adf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
+        if dirty_only and adf.empty:
+            return pd.DataFrame({"shard_id": pd.Series([], dtype="int32"), "bits": []})
         blob = (
             bytes(sdf["bits"].iloc[0])
             if not sdf.empty and sdf["bits"].iloc[0] is not None

@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime (exact-size) broadcast decisions: the dedupe anti-join's
+        # build side is the round's confirmed-dup hash set — bounded by the
+        # round's candidates (8 B/key ⇒ ~10^7 keys ≈ 80 MB), NOT by the
+        # frontier. Letting AQE broadcast it avoids re-shuffling the full
+        # candidate set every round; oversize rounds fall back to SMJ
+        # automatically. Static stats stay at the conservative default.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")

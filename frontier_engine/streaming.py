@@ -307,21 +307,27 @@ def frontier_ingest_stream(
         with open(meta_path) as f:
             meta = json.load(f)
         store = SeenExactStore.from_meta(spark, seen_root, meta["seen"])
-        shards0 = (
-            spark.read.parquet(meta["shards_path"])
-            if meta.get("shards_path")
-            else S.empty_shards(spark)
+        # legacy single-path manifests load as a one-element chain
+        chain = meta.get("shard_paths") or (
+            [meta["shards_path"]] if meta.get("shards_path") else []
         )
     else:
         store = SeenExactStore(spark, seen_root, n_buckets=cfg.seen_exact_buckets)
-        shards0 = S.empty_shards(spark)
-    state = {"shards": shards0}
+        chain = []
+    state = {"chain": list(chain)}
     shards_root = os.path.join(root, "shards")
+    COMPACT_CHAIN = 8
+
+    def _view():
+        if not state["chain"]:
+            return S.empty_shards(spark)
+        return S.resolve_shards(spark, state["chain"][0], state["chain"][1:])
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        shards = _view()
         cands = with_canon_columns(batch_df).dropDuplicates(["canon_url"])
         unseen = S.filter_unseen(
-            cands, state["shards"], store.parts(), cfg.n_seen_shards,
+            cands, shards, store.parts(), cfg.n_seen_shards,
             cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
         ).cache()
         n = unseen.count()
@@ -332,16 +338,24 @@ def frontier_ingest_stream(
         )
         if n:
             store.append(unseen, f"s{batch_id}", n_new=n)
-            new_shards = S.update_shards(
-                unseen, state["shards"], cfg.n_seen_shards,
+            # dirty-shard delta per micro-batch (round-3 commit-bytes
+            # fix, same LSM discipline as the batch crawler); fold the
+            # chain into a fresh base when it grows past COMPACT_CHAIN
+            fold = len(state["chain"]) >= COMPACT_CHAIN
+            merged = S.update_shards(
+                unseen, shards, cfg.n_seen_shards,
                 cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+                dirty_only=not fold,  # fold ⇒ full merge = the new base
             )
             spath = os.path.join(shards_root, f"b{batch_id}")
-            new_shards.write.mode("overwrite").parquet(spath)
-            state["shards"] = spark.read.parquet(spath)
+            merged.write.mode("overwrite").parquet(spath)
+            if fold:
+                state["chain"] = [spath]
+            elif spath not in state["chain"]:  # replayed batch: same path
+                state["chain"] = state["chain"] + [spath]
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"seen": store.to_meta(), "shards_path": spath}, f)
+                json.dump({"seen": store.to_meta(), "shard_paths": state["chain"]}, f)
             os.replace(tmp, meta_path)
         unseen.unpersist()
 

@@ -86,3 +86,34 @@ def test_pages_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
     assert "PushedFilters: [" in p and "StartsWith" in p, p
     read_schema = p.split("ReadSchema")[-1]
     assert "html" not in read_schema, read_schema  # binary column pruned
+
+
+def test_fetch_join_broadcasts_batch_never_shuffles_pages(spark, tmp_path):
+    """Round-3 guard: a left-outer join from the batch can never
+    broadcast the batch (Spark streams the preserved side), so the old
+    shape silently shuffled the whole pages table once it outgrew the
+    broadcast threshold. The inner+anti decomposition must show the
+    batch on the build side and NO exchange on the pages scan."""
+    from frontier_engine.fetch import fetch_batch
+
+    path = str(tmp_path / "pages")
+    spark.range(50_000).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("id")).alias("url"),
+        F.current_timestamp().alias("warc_ts"), F.lit(b"h").alias("html"),
+        F.lit("x").alias("text"), F.lit("en").alias("lang"),
+    ).write.parquet(path)
+    pages = spark.read.parquet(path)
+    batch = spark.range(200).select(
+        F.concat(F.lit("https://www.h1.example/p/"), F.col("id") * 5 + 1).alias("url"),
+        F.lit("www.h1.example").alias("host"), F.lit(1).alias("rank"),
+    )
+    fetched, missing = fetch_batch(batch, pages)
+    fetched.write.format("noop").mode("overwrite").save()
+    missing.write.format("noop").mode("overwrite").save()
+    pf = _plan(fetched)
+    assert "BroadcastHashJoin" in pf, pf
+    # the pages side must reach the join without any Exchange (scan in place)
+    assert "Exchange hashpartitioning" not in pf, pf
+    pm = _plan(missing)
+    assert "LeftAnti" in pm and "BroadcastHashJoin" in pm, pm

@@ -64,3 +64,46 @@ def test_bit_positions_in_range(hashes):
     pos = _bit_positions(np.array(sorted(hashes), dtype=np.int64), N_BITS, K)
     assert pos.shape == (len(hashes), K)
     assert (pos < N_BITS).all() and (pos >= 0).all()
+
+
+def test_update_shards_dirty_only_emits_touched_shards(spark):
+    """Round-3 commit-bytes fix: with dirty_only=True, a round that adds
+    keys hitting a subset of shards emits ONLY those shard rows; the
+    resolved LSM view (base + deltas, latest wins) must equal the full
+    eager merge."""
+    from pyspark.sql import functions as F
+
+    from frontier_engine import seen as S
+
+    n_shards, n_bits, k = 16, 1 << 12, 5
+    base_keys = spark.range(500).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    base = S.update_shards(base_keys, S.empty_shards(spark), n_shards, n_bits, k)
+    # adds constrained to exactly 3 shards
+    adds = (
+        spark.range(5000)
+        .select(F.xxhash64((F.col("id") + 9999).cast("string")).alias("url_hash"))
+        .where(F.pmod(F.col("url_hash"), F.lit(n_shards)).isin(1, 5, 9))
+    )
+    dirty = S.update_shards(adds, base, n_shards, n_bits, k, dirty_only=True)
+    got_ids = sorted(r.shard_id for r in dirty.select("shard_id").collect())
+    assert got_ids == [1, 5, 9]
+
+    full = S.update_shards(adds, base, n_shards, n_bits, k)
+    resolved = S.resolve_shards(spark, None, [], extra_df=dirty).unionByName(
+        base.join(dirty.select("shard_id"), "shard_id", "left_anti")
+    )
+    want = {r.shard_id: bytes(r.bits) for r in full.collect()}
+    got = {r.shard_id: bytes(r.bits) for r in resolved.collect()}
+    assert got == want
+
+
+def test_resolve_shards_latest_version_wins(spark, tmp_path):
+    from frontier_engine import seen as S
+
+    b0 = spark.createDataFrame([(0, bytearray(b"old0")), (1, bytearray(b"old1"))], S.SHARD_SCHEMA)
+    d1 = spark.createDataFrame([(1, bytearray(b"new1"))], S.SHARD_SCHEMA)
+    d2 = spark.createDataFrame([(0, bytearray(b"new0")), (2, bytearray(b"new2"))], S.SHARD_SCHEMA)
+    p0, p1, p2 = (str(tmp_path / n) for n in ("b0", "d1", "d2"))
+    b0.write.parquet(p0); d1.write.parquet(p1); d2.write.parquet(p2)
+    out = {r.shard_id: bytes(r.bits) for r in S.resolve_shards(spark, p0, [p1, p2]).collect()}
+    assert out == {0: b"new0", 1: b"new1", 2: b"new2"}
