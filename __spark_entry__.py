@@ -632,6 +632,27 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_topk(uni, qv, k=10, n_lists=16, n_probe=4)
 
 
+def q_ivf_topk_join(spark, sf_dir):
+    """Batch-query IVF ANN (similarity.ivf_topk_join, round-3): a TABLE
+    of ten planted queries — the SQL-derivable 0.95·v0 + 0.05·vi
+    mixtures themselves — retrieves exact-cosine top-5 from the
+    corpus+mixtures universe in ONE job (queries explode to their
+    n_probe nearest inverted lists, equi-join on list id, windowed
+    top-k). Every query's true neighbors (itself, v0, the other
+    mixtures, all near-parallel) share the query's probed lists, so the
+    result must equal the per-query exact brute force the oracle
+    computes."""
+    from frontier_engine.similarity import ivf_topk_join
+
+    uni, _qv = _ann_universe(spark, sf_dir)
+    queries_df = uni.where(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk_join(queries_df, uni, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH buckets + exact verify) over
     the corpus plus SQL-derivable planted duplicates (vec_id<40 copied to
@@ -755,6 +776,37 @@ def q_listings_extract(spark, sf_dir):
         F.coalesce(F.col("monthly_price_factor").cast("double"), F.lit(-1.0)).alias("monthly_price_factor"),
         F.coalesce(F.col("weekly_price_factor").cast("double"), F.lit(-1.0)).alias("weekly_price_factor"),
     )
+
+
+def q_export_grid(spark, sf_dir):
+    """S6 export grid (sinks.export_frame — reference
+    deepbnb/exporter.py:31-70 + settings.py.dist:99-133): the 33-column
+    string cell grid over the search-extracted listings. Exercises the
+    HYPERLINK name formula (name-or-id label), ','-joined array cells
+    (photos), ''-defaults for never-set export fields (amenities,
+    review_score, notes, response_rate, ...), null→'' coalescing, and
+    the fixed FEED column order. Same grid feeds write_csv and the
+    stdlib-OOXML write_xlsx, so this row oracle-checks both sinks'
+    cell semantics."""
+    from frontier_engine import parse as P
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.sinks import export_frame
+
+    pages = _fixture_pages(spark)
+    res, _ = P.parse_search(
+        pages.where(P.page_type_col() == "search"), P.CrawlArgs(*_PARSE_ARGS), EngineConfig()
+    )
+    listings = res.select(
+        F.col("listing_id").alias("id"),
+        "name",
+        F.concat(F.lit("https://www.airbnb.com/rooms/"), F.col("listing_id")).alias("url"),
+        "price_rate", "price_rate_type", "total_price",
+        "room_and_property_type", "latitude", "longitude",
+        "monthly_price_factor", "weekly_price_factor", "room_type",
+        "person_capacity", "review_count", "star_rating",
+        "neighborhood_overview", "photos",
+    )
+    return export_frame(listings)
 
 
 def q_reviews_assembled(spark, sf_dir):
@@ -1062,10 +1114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landing_extract": q_landing_extract,
         "neighborhoods": q_neighborhoods,
         "room_type_filter": q_room_type_filter,
+        "export_grid": q_export_grid,
         # ST2 stateful streaming twins (r2)
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
         "ivf_ann": q_ivf_ann,
+        "ivf_topk_join": q_ivf_topk_join,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1336,6 +1390,86 @@ def _oracle_sql_build() -> dict[str, str]:
                        ',', ''), '') AS INT) END, -1) AS total_price,
                    COALESCE(monthly_price_factor, -1.0) AS monthly_price_factor,
                    COALESCE(weekly_price_factor, -1.0) AS weekly_price_factor
+            FROM kept
+        """,
+        "export_grid": f"""
+            WITH src AS (
+              SELECT url, json_extract(text, '$.data.dora.exploreV3.sections') AS secs
+              FROM read_parquet('{_FIXTURE_PAGES}')
+              WHERE url LIKE '%/api/v3/ExploreSearch%'
+            ),
+            sec AS (
+              SELECT url, json_extract(secs, '$[' || i || ']') AS sec
+              FROM src, (SELECT unnest(range(0, 16)) AS i)
+              WHERE i < json_array_length(secs)
+                AND json_extract_string(secs, '$[' || i || '].sectionComponentType')
+                    = 'listings_ListingsGrid_Explore'
+            ),
+            item AS (
+              SELECT json_extract(sec, '$.items[' || j || ']') AS it
+              FROM sec, (SELECT unnest(range(0, 32)) AS j)
+              WHERE j < json_array_length(sec, '$.items')
+            ),
+            f AS (
+              SELECT json_extract_string(it, '$.listing.id') AS id,
+                     json_extract_string(it, '$.listing.name') AS lname,
+                     CAST(json_extract_string(it, '$.listing.lat') AS DOUBLE) AS latitude,
+                     CAST(json_extract_string(it, '$.listing.lng') AS DOUBLE) AS longitude,
+                     json_extract_string(it, '$.listing.roomAndPropertyType') AS room_and_property_type,
+                     json_extract_string(it, '$.listing.roomType') AS room_type,
+                     CAST(json_extract_string(it, '$.listing.personCapacity') AS INT) AS person_capacity,
+                     CAST(json_extract_string(it, '$.listing.reviewsCount') AS INT) AS review_count,
+                     CAST(json_extract_string(it, '$.listing.starRating') AS DOUBLE) AS star_rating,
+                     json_extract_string(it, '$.listing.neighborhoodOverview') AS neighborhood_overview,
+                     CASE WHEN json_array_length(it, '$.listing.contextualPictures') IS NULL THEN NULL
+                          ELSE array_to_string(
+                            [json_extract_string(it, '$.listing.contextualPictures[' || k || '].picture')
+                             FOR k IN range(0, CAST(json_array_length(it, '$.listing.contextualPictures') AS BIGINT))],
+                            ',') END AS photos,
+                     CAST(json_extract_string(it, '$.pricingQuote.monthlyPriceFactor') AS DOUBLE) AS monthly_price_factor,
+                     CAST(json_extract_string(it, '$.pricingQuote.weeklyPriceFactor') AS DOUBLE) AS weekly_price_factor,
+                     json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.qualifier') AS price_rate_type,
+                     COALESCE(json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.price'),
+                              json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.primaryLine.discountedPrice')) AS amt,
+                     json_extract_string(it, '$.pricingQuote.structuredStayDisplayPrice.secondaryLine.price') AS sec_price,
+                     CAST(json_extract_string(it, '$.pricingQuote.rateWithServiceFee.amount') AS DOUBLE) AS rwsf
+              FROM item
+            ),
+            kept AS (
+              SELECT * FROM f
+              WHERE price_rate_type IS NULL
+                 OR NOT (price_rate_type <> 'month' AND COALESCE(rwsf, 0) * 28 > 9000)
+            )
+            SELECT
+              '=HYPERLINK("https://www.airbnb.com/rooms/' || id || '", "' || COALESCE(lname, id) || '")' AS name,
+              'https://www.airbnb.com/rooms/' || id AS url,
+              COALESCE(CAST(CASE WHEN price_rate_type IS NOT NULL
+                  THEN CAST(replace(regexp_replace(amt, '^\\$+', ''), ',', '') AS INT) END AS VARCHAR), '') AS price_rate,
+              COALESCE(price_rate_type, '') AS price_rate_type,
+              COALESCE(CAST(CASE WHEN price_rate_type IS NOT NULL THEN
+                  TRY_CAST(NULLIF(replace(
+                    CASE WHEN sec_price IS NOT NULL
+                         THEN regexp_extract(sec_price, '^\\$([0-9a-zA-Z_,]+) total', 1)
+                         ELSE regexp_extract(amt, '^\\$([0-9a-zA-Z_,]+)', 1) END,
+                    ',', ''), '') AS INT) END AS VARCHAR), '') AS total_price,
+              COALESCE(room_and_property_type, '') AS room_and_property_type,
+              COALESCE(CAST(latitude AS VARCHAR), '') AS latitude,
+              COALESCE(CAST(longitude AS VARCHAR), '') AS longitude,
+              COALESCE(CAST(monthly_price_factor AS VARCHAR), '') AS monthly_price_factor,
+              COALESCE(CAST(weekly_price_factor AS VARCHAR), '') AS weekly_price_factor,
+              COALESCE(room_type, '') AS room_type,
+              COALESCE(CAST(person_capacity AS VARCHAR), '') AS person_capacity,
+              '' AS amenities,
+              COALESCE(CAST(review_count AS VARCHAR), '') AS review_count,
+              '' AS review_score, '' AS rating_accuracy, '' AS rating_checkin,
+              '' AS rating_cleanliness, '' AS rating_communication, '' AS rating_location,
+              '' AS rating_value,
+              COALESCE(CAST(star_rating AS VARCHAR), '') AS star_rating,
+              '' AS satisfaction_guest, '' AS description,
+              COALESCE(neighborhood_overview, '') AS neighborhood_overview,
+              '' AS notes, '' AS additional_house_rules, '' AS interaction, '' AS access,
+              '' AS transit, '' AS response_rate, '' AS response_time,
+              COALESCE(photos, '') AS photos
             FROM kept
         """,
         "neighborhoods": f"""
@@ -1690,6 +1824,31 @@ def _oracle_sql_build() -> dict[str, str]:
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         # LSH top-10 must equal the exact brute-force top-10 over the
         # corpus + planted near neighbors (same mixtures, recomputed here)
+        "ivf_topk_join": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            mix AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     [qv[i] * 0.95 + (embedding::DOUBLE[])[i] * 0.05 FOR i IN range(1, 65)] AS v
+              FROM embeddings, q WHERE vec_id BETWEEN 1 AND 10
+            ),
+            uni AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL SELECT vec_id, v FROM mix
+            ),
+            qt AS (SELECT vec_id - 100000 AS query_id, v AS qv2 FROM mix)
+            SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+              SELECT qt.query_id, u.vec_id,
+                     ROUND(list_dot_product(u.v, qt.qv2) /
+                           (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(qt.qv2, qt.qv2))), 6) AS cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qt.query_id
+                       ORDER BY ROUND(list_dot_product(u.v, qt.qv2) /
+                                (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(qt.qv2, qt.qv2))), 6) DESC,
+                                u.vec_id
+                     ) AS rank
+              FROM uni u, qt
+            ) WHERE rank <= 5
+        """,
         "lsh_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             mix AS (

@@ -269,10 +269,67 @@ def ivf_topk(
     )
 
 
+def ivf_topk_join(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, n_lists: int = 16,
+    n_probe: int = 4, iters: int = 2, centroids: list[list[float]] | None = None,
+    query_id_col: str = "query_id", query_vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-query IVF ANN: exact-cosine top-*k* corpus rows for EVERY
+    row of a query TABLE (retrieval / dedup-vs-index — the shape a
+    training-data pipeline needs; ``ivf_topk`` handles one driver-side
+    literal vector, this joins 10^6 queries in one job).
+
+    Plan shape: corpus rows map statelessly to their nearest-centroid
+    inverted list (on a real deployment: a precomputed partition column ⇒
+    the join prunes partitions); each query row explodes into its
+    ``n_probe`` nearest lists (pure JVM expressions — sort the k·dim
+    centroid codebook literal per row, slice, explode); one equi-join on
+    list id co-locates every query with exactly the corpus fraction it
+    must score; per-query top-k is a bounded window over ~n_probe/n_lists
+    of the corpus. Nothing is ever all-pairs and the only shuffle keys on
+    the list id. Per-vector norms are precomputed once on each side.
+
+    Returns (query_id, vec_id, cos, rank) rows, rank 1..k by
+    (cos DESC, vec_id) — ties deterministic, SQL-reproducible.
+    """
+    from pyspark.sql import Window
+
+    cents = centroids or kmeans_centroids(corpus, n_lists, iters, id_col, vec_col)
+    cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    assigned = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"),
+        _argmax_cos(cent_col, _as_double(F.col(vec_col)), len(cents)).alias("_list"),
+    ).withColumn("_cn", norm(F.col("_cv")))
+
+    qv = _as_double(F.col(query_vec_col))
+    # per-query probe lists: struct(-cos, i) sorts ascending ⇒ best first
+    scored = F.transform(
+        cent_col, lambda c, i: F.struct((-cosine(c, qv)).alias("negcos"), i.alias("i"))
+    )
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), qv.alias("_qv"),
+            F.explode(F.transform(probes, lambda s: s["i"])).alias("_list"),
+        )
+        .withColumn("_qn", norm(F.col("_qv")))
+    )
+    pair_cos = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        q.join(assigned, "_list")
+        .select("query_id", F.col(id_col), F.round(pair_cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.95, n_clusters: int = 8,
     centroids: list[list[float]] | None = None, quantizer: str = "kmeans",
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023, arXiv
     2303.09540): coarse-cluster the corpus, then remove near-duplicates
@@ -298,8 +355,21 @@ def semantic_dedup(
     n/k at ~10^4-10^5 vectors (SemDeDup uses k=50k on LAION-scale data);
     the 8-cluster default here is the small-fixture/oracle setting.
 
+    *max_cluster_size* (round-3 skew guard): a real corpus can dump most
+    rows into ONE cluster, degrading the pair join toward all-pairs. When
+    set, clusters over the cap are subdivided for PAIRING ONLY by
+    additional axis-aligned sign bits (components after the ones the
+    signbits quantizer consumed), enough bits to bound the expected
+    sub-cluster at the cap. Near-parallel vectors agree on every sign
+    w.h.p. and exact copies always do, so planted/true duplicates still
+    collide; a straddling near-dup pair is the same recall tradeoff the
+    coarse quantizer itself already makes. The REPORTED ``cluster``
+    column stays the primary cluster either way.
+
     Returns (id, cluster int, kept boolean) for every input row.
     """
+    import math
+
     base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if quantizer == "signbits":
         n_bits = max(1, (n_clusters - 1).bit_length())
@@ -308,12 +378,34 @@ def semantic_dedup(
             for i in range(n_bits)
         )
         assigned = base.withColumn("cluster", cluster).cache()
+        sub_start = n_bits  # secondary bits must use fresh components
     else:
         cents = centroids or kmeans_centroids(embeddings, n_clusters, 2, id_col, vec_col)
         cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
         assigned = base.withColumn(
             "cluster", _argmax_cos(cent_col, F.col("v"), len(cents))
         ).cache()
+        sub_start = 0
+    # pairing key = (cluster, sub); sub stays 0 unless the skew guard
+    # splits an oversized cluster
+    assigned = assigned.withColumn("sub", F.lit(0))
+    if max_cluster_size:
+        sizes = assigned.groupBy("cluster").count().collect()  # n_clusters rows
+        over = [r["cluster"] for r in sizes if r["count"] > max_cluster_size]
+        if over:
+            worst = max(r["count"] for r in sizes)
+            dim = len(base.select("v").limit(1).collect()[0][0])
+            extra = min(
+                max(1, math.ceil(math.log2(worst / max_cluster_size))),
+                max(dim - sub_start, 0),
+            )
+            sub = sum(
+                (F.element_at(F.col("v"), sub_start + i + 1) >= 0).cast("int") * (2 ** i)
+                for i in range(extra)
+            )
+            assigned = assigned.withColumn(
+                "sub", F.when(F.col("cluster").isin(over), sub).otherwise(F.lit(0))
+            )
     # per-vector norm computed ONCE (same dot/(√·√) arithmetic the SQL
     # oracle uses, so rounded cosines stay identical — just not
     # recomputed for every pair; pairs then cost one dot product)
@@ -322,6 +414,7 @@ def semantic_dedup(
     pair_cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     dup_ids = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.sub") == F.col("b.sub"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .where(F.round(pair_cos, 6) >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))

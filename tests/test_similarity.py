@@ -127,3 +127,84 @@ def test_semantic_dedup_kmeans_quantizer(emb):
     assert len(out) == 300
     assert out[5] == (out[0][0], False) and out[0][1]
     assert sum(1 for c, kept in out.values() if not kept) >= 1
+
+
+def test_ivf_topk_join_matches_per_query_brute_force(emb, spark):
+    """Batch-query IVF ANN (round-3): top-k for a query TABLE must equal
+    per-query exact brute force on planted near neighbors — each query is
+    a 0.95·q + 0.05·noise mixture whose true neighbors all share the
+    query's inverted list."""
+    df, vecs = emb
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = vecs[0].astype("float64")
+    qrows = []
+    for qi in range(5):
+        mix = 0.95 * base + 0.05 * rng.normal(size=16)
+        qrows.append({"query_id": qi, "embedding": mix.tolist()})
+    queries = spark.createDataFrame(pd.DataFrame(qrows))
+    out = S.ivf_topk_join(queries, df, k=5, n_lists=8, n_probe=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos))
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    for qi, rows in got.items():
+        q = np.array(qrows[qi]["embedding"])
+        sims = np.round(v @ q / (norms * np.linalg.norm(q)), 6)
+        order = sorted(range(len(v)), key=lambda i: (-sims[i], i))[:5]
+        rows.sort()
+        assert [vid for _, vid, _ in rows] == order, (qi, rows, order)
+        for rk, vid, cos in rows:
+            assert abs(cos - sims[vid]) <= 1e-6
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_semantic_dedup_skew_guard_bounds_pairs_and_keeps_dups(spark):
+    """Round-3 skew guard: 90% of the corpus in one sign-bit cluster must
+    not degrade the pair join to all-pairs. With the cap, the pairing key
+    subdivides the hot cluster, pair counts drop by orders of magnitude,
+    and planted EXACT copies (which agree on every sign bit) are still
+    dropped — the kept-set matches the unguarded rule on this corpus."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 600
+    vecs = np.abs(rng.normal(size=(n, 16)))  # all-positive ⇒ one cluster...
+    vecs[:, 3:] = rng.normal(size=(n, 13))   # ...but varied secondary signs
+    vecs[n // 2:] *= 1.0  # keep magnitudes arbitrary
+    copies = vecs[:30].copy()               # exact duplicates
+    allv = np.vstack([vecs, copies]).astype("float64")
+    pdf = pd.DataFrame({
+        "vec_id": range(len(allv)),
+        "embedding": [v.tolist() for v in allv],
+    })
+    df = spark.createDataFrame(pdf)
+
+    unguarded = S.semantic_dedup(df, threshold=0.999999, quantizer="signbits", n_clusters=8)
+    guarded = S.semantic_dedup(
+        df, threshold=0.999999, quantizer="signbits", n_clusters=8, max_cluster_size=100
+    )
+    ug = {(r.vec_id, r.cluster, r.kept) for r in unguarded.collect()}
+    gd = {(r.vec_id, r.cluster, r.kept) for r in guarded.collect()}
+    assert gd == ug  # identical output incl. reported primary cluster
+    dropped = {r.vec_id for r in guarded.collect() if not r.kept}
+    assert dropped == set(range(n, n + 30))  # every planted copy dropped
+
+    # bounded pair counts: numpy twin of the pairing keys. Primary key =
+    # signs of comps 0-2; the guard adds ceil(log2(worst/cap)) sign bits
+    # from comps 3.. for oversized clusters.
+    prim = (allv[:, :3] >= 0) @ (2 ** np.arange(3))
+    sizes = np.bincount(prim.astype(int), minlength=8)
+    worst = sizes.max()
+    assert worst > 500  # the corpus IS pathologically skewed
+    extra = max(1, int(np.ceil(np.log2(worst / 100))))
+    sub = (allv[:, 3:3 + extra] >= 0) @ (2 ** np.arange(extra))
+    hot = sizes.argmax()
+    key = np.where(prim == hot, prim * (2 ** extra) + sub + 1000, prim)
+    unguarded_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    guarded_pairs = sum(
+        s * (s - 1) // 2 for s in np.bincount(key.astype(int) % 100000)
+    )
+    assert guarded_pairs < unguarded_pairs / 4  # join fan-out bounded
