@@ -3,10 +3,13 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 / resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the codec step is STUBBED — this container
-ships no image/audio libraries, so ``decode_media`` uses a clearly-marked
-deterministic fake (PIL/ffmpeg drop-in points are annotated). Swap
-``_decode_impl`` for a real codec on a cluster and nothing else changes.
+shapes) is real and tested. The codec layer (round-3): PNG payloads run
+a REAL byte-level decode/resize/re-encode via the pure-stdlib codec in
+``frontier_engine.png`` (zlib inflate + scanline filter reversal) — no
+image library needed. JPEG/audio/video still use the clearly-marked
+deterministic fake (no stdlib codec exists for those; PIL/ffmpeg
+drop-in points are annotated). Swap ``_decode_impl`` for a full codec
+on a cluster and nothing else changes.
 
 Design for 100 TB of media:
 * payloads never leave the JVM except inside the one mapInPandas stage
@@ -64,33 +67,63 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
-    """STUB CODEC — deterministic fake decode.
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (H, W) float32 luminance-ish plane (mean of the
+    color channels; alpha ignored)."""
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    if arr.shape[2] <= 2:  # gray / gray+alpha
+        return arr[:, :, 0].astype(np.float32)
+    return arr[:, :, :3].mean(axis=2).astype(np.float32)
 
-    Real deployment: replace with PIL.Image.open / soundfile / pyav here
-    (and ONLY here). The fake derives a stable 8×8 'pixel' grid from the
-    payload bytes so every downstream shape/value is reproducible and
-    testable without codec libraries.
+
+def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
+    """Decode to a stable 8×8 feature grid.
+
+    PNG: REAL decode (frontier_engine.png — zlib inflate + filter
+    reversal on the actual payload bytes), grayscale, nearest-resampled
+    to 8×8. Other mimes: deterministic fake (no stdlib codec exists;
+    replace with PIL.Image.open / soundfile / pyav here, and ONLY here).
     """
+    from frontier_engine import png as P
+
+    if mime == "image/png" and payload[:8] == P.SIGNATURE:
+        arr, _meta = P.decode_png(payload)
+        return P.resize_nearest(_to_gray(arr), 8, 8).astype(np.float32)
     h = blake2b(payload, digest_size=64).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
 
 
+def _gradient_image(i: int, w: int = 24, h: int = 16) -> np.ndarray:
+    """Deterministic RGB test image (formula pixels — the golden values
+    the codec tests assert against)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7 + i) % 256, (y * 5 + i) % 256, (x + y + i * 3) % 256], axis=2
+    ).astype(np.uint8)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (test/bench input)."""
+    """Deterministic synthetic media table (test/bench input). The
+    ``image/png`` rows carry REAL PNG payloads (encoded with cycling
+    scanline filters), so the decode/resize stages exercise genuine
+    image bytes end-to-end; other mimes stay opaque fakes."""
+    from frontier_engine import png as P
+
     rows = []
     for i in range(n):
-        payload = blake2b(f"media-{i}".encode(), digest_size=32).digest() * (4 + i % 7)
         mime = ["image/jpeg", "image/png", "audio/ogg", "video/mp4"][i % 4]
-        dur = None if mime.startswith("image") else float(1 + i % 30)
-        rows.append(
-            {
-                "media_id": i,
-                "mime": mime,
-                "payload": payload,
-                "meta": {"width": 640, "height": 480, "duration_s": dur, "codec": mime.split("/")[1]},
-            }
-        )
+        if mime == "image/png":
+            img = _gradient_image(i)
+            payload = P.encode_png(img, filter_strategy="cycle")
+            meta = {"width": img.shape[1], "height": img.shape[0],
+                    "duration_s": None, "codec": "png"}
+        else:
+            payload = blake2b(f"media-{i}".encode(), digest_size=32).digest() * (4 + i % 7)
+            dur = None if mime.startswith("image") else float(1 + i % 30)
+            meta = {"width": 640, "height": 480, "duration_s": dur,
+                    "codec": mime.split("/")[1]}
+        rows.append({"media_id": i, "mime": mime, "payload": payload, "meta": meta})
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -152,18 +185,31 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stage (stub codec): image rows → resized payload + updated
-    meta. Schema/pruning/batching identical to the real thing."""
+    """Resize stage: image rows → resized payload + updated meta.
+
+    PNG rows run the REAL pipeline — decode (filter reversal) →
+    nearest-neighbor resample → re-encode — on the actual bytes; the
+    output payload is itself a valid PNG of the requested dimensions.
+    Other image mimes keep the deterministic fake (PIL drop-in point)."""
+    from frontier_engine import png as P
+
     imgs = media.where(F.col("mime").startswith("image/"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
-                # ← real resize (PIL thumbnail + re-encode) goes here
-                resized = blake2b(
-                    bytes(payload) + f"{width}x{height}".encode(), digest_size=32
-                ).digest()
+                raw = bytes(payload)
+                if mime == "image/png" and raw[:8] == P.SIGNATURE:
+                    arr, _meta = P.decode_png(raw)
+                    resized = P.encode_png(
+                        P.resize_nearest(arr, width, height), filter_strategy="none"
+                    )
+                else:
+                    # ← real resize (PIL thumbnail + re-encode) goes here
+                    resized = blake2b(
+                        raw + f"{width}x{height}".encode(), digest_size=32
+                    ).digest()
                 out.append(
                     {
                         "media_id": mid,

@@ -59,3 +59,39 @@ def test_metadata_filter_prunes_payload(media, spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and all("payload" not in ln for ln in scan)
+
+
+def test_png_rows_use_real_codec_features(media, spark):
+    """Round-3: image/png rows' features must come from the REAL decoded
+    pixels (decode → grayscale → 8×8 nearest grid → pooled), matching a
+    driver-side recomputation from the known gradient formula."""
+    import numpy as np
+
+    from frontier_engine import png as P
+    from frontier_engine.multimodal import _gradient_image, _to_gray
+
+    feats = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    png_ids = [r.media_id for r in media.collect() if r.mime == "image/png"]
+    assert png_ids
+    for mid in png_ids:
+        grid = P.resize_nearest(_to_gray(_gradient_image(mid)), 8, 8).astype(np.float32)
+        pooled = grid.mean(axis=0)
+        want = np.concatenate([pooled, grid.std(axis=1)])[:16].astype(np.float32)
+        assert np.allclose(feats[mid], want), mid
+
+
+def test_resize_produces_valid_png_of_requested_size(media):
+    """Round-3: resized PNG payloads are themselves decodable PNGs at the
+    requested dimensions, equal to nearest-neighbor of the source."""
+    import numpy as np
+
+    from frontier_engine import png as P
+    from frontier_engine.multimodal import _gradient_image
+
+    out = {r.media_id: r for r in M.resize_images(media, 12, 10).collect()}
+    png_ids = [r.media_id for r in media.collect() if r.mime == "image/png"]
+    for mid in png_ids:
+        arr, meta = P.decode_png(bytes(out[mid].payload))
+        assert (meta["width"], meta["height"]) == (12, 10)
+        want = P.resize_nearest(_gradient_image(mid), 12, 10)
+        assert (arr == want).all()
