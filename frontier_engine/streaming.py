@@ -365,3 +365,225 @@ def frontier_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_crawl_stream(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: EngineConfig,
+    args: P.CrawlArgs,
+    seeds: DataFrame,
+    snapshot_dir: str | None = None,
+    max_rounds: int = 50,
+):
+    """The FULL crawl through the Structured-Streaming face (round-3):
+    each scheduling round is one micro-batch of a self-feeding candidate
+    stream, and the result must equal ``crawler.run_crawl`` exactly
+    (same batches in the same rounds, same parsed outputs, same seen
+    set — pinned by the e2e parity test).
+
+    Shape: a ``readStream`` file source watches a candidates directory;
+    the seed list is the first file. ``foreachBatch`` runs ONE round
+    with the SAME building blocks as the batch driver (_ingest_candidates
+    → rank_batch → fetch_batch → parse_* → snapshot commit) and drops
+    the round's newly discovered candidates back into the watched
+    directory as a single parquet file — the feedback edge. The driver
+    loop re-triggers ``availableNow`` passes until a round schedules
+    nothing (frontier exhausted): no new file ⇒ the stream has drained.
+
+    An EMPTY candidate file is still written after every non-empty
+    batch, because a round with zero discoveries must not stop the
+    crawl while pending URLs remain (politeness budgets spread a host's
+    backlog over many rounds). Exactly-once over candidate files is the
+    streaming engine's checkpoint contract; engine state (seen store,
+    shard blobs, frontier) rides the same snapshot manifests as the
+    batch path.
+
+    Returns a dict: outputs (name → DataFrame), rounds, seen_exact,
+    frontier.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from frontier_engine import seen as S
+    from frontier_engine.crawler import (
+        OUTPUT_TABLES, _FrontierState, _ShardState, _ingest_candidates, append_output,
+    )
+    from frontier_engine.fetch import fetch_batch
+    from frontier_engine.metrics import round_metrics
+    from frontier_engine.robots import rules_from_pages
+    from frontier_engine.schedule import rank_batch
+    from frontier_engine.seen_store import SeenExactStore
+    from frontier_engine.snapshots import SnapshotStore
+
+    snapshot_dir = snapshot_dir or tempfile.mkdtemp(prefix="frontier-stream-")
+    cands_dir = os.path.join(snapshot_dir, "cand_stream")
+    ckpt = os.path.join(snapshot_dir, "ckpt")
+    out_dir = os.path.join(snapshot_dir, "outputs")
+    os.makedirs(cands_dir, exist_ok=True)
+    store = SnapshotStore(snapshot_dir)
+    seen_store = SeenExactStore(
+        spark, os.path.join(snapshot_dir, "seen_exact_store"),
+        n_buckets=cfg.seen_exact_buckets, compact_ratio=cfg.seen_compact_ratio,
+    )
+    rules = rules_from_pages(pages, cfg).cache()
+    rules.count()
+
+    def _drop_cand_file(df: DataFrame, tag: str) -> None:
+        tmp = os.path.join(snapshot_dir, f"cand-tmp-{tag}")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+        shutil.move(part, os.path.join(cands_dir, f"{tag}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    seed_cands = seeds.select(
+        F.col("url"), F.lit("").alias("parent_url"),
+        F.lit(0).alias("depth"), F.lit(0.0).alias("listing_score"),
+    )
+    _drop_cand_file(seed_cands, "seed")
+
+    st = {
+        "round": 0, "seq": 0, "snap": 0, "done": False,
+        "shards": S.empty_shards(spark), "sstate": None, "fstate": None,
+    }
+
+    def _next_snap() -> int:
+        st["snap"] += 1
+        return st["snap"]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if st["done"]:
+            return
+        rnd = st["round"]  # commits for state as of THIS ingest
+        pending_new, blocked_new, shards_dirty, unseen, n_new, cache_handle = (
+            _ingest_candidates(
+                batch_df, st["shards"], seen_store.parts(), rules, cfg, st["seq"]
+            )
+        )
+        seen_store.append(unseen, rnd, n_new=n_new)
+        st["seq"] += n_new
+        new_rows = pending_new.unionByName(blocked_new)
+
+        sstate, fstate = st["sstate"], st["fstate"]
+        if sstate is None:  # seed micro-batch: establish the state bases
+            entry = store.commit(
+                _next_snap(), {"frontier_base": new_rows, "seen_shards": shards_dirty},
+                meta={"round": rnd, "seq_offset": st["seq"]}, finalize=False,
+            )
+            fstate = _FrontierState(
+                spark, [entry["tables"]["frontier_base"]["path"]], [], [],
+                base_rows=entry["tables"]["frontier_base"]["rows"], status_rows=0,
+            )
+            sstate = _ShardState(spark, entry["tables"]["seen_shards"]["path"], [])
+        else:
+            entry = store.commit(
+                _next_snap(), {"frontier_delta": new_rows, "seen_shards": shards_dirty},
+                meta={"round": rnd, "seq_offset": st["seq"]}, finalize=False,
+            )
+            fstate.delta_paths.append(entry["tables"]["frontier_delta"]["path"])
+            fstate.base_rows += int(entry["tables"]["frontier_delta"]["rows"])
+            sstate.delta_paths.append(entry["tables"]["seen_shards"]["path"])
+        entry["meta"]["frontier"] = fstate.to_meta()
+        entry["meta"]["shards"] = sstate.to_meta()
+        entry["meta"]["seen_exact"] = seen_store.to_meta()
+        store.publish(entry)
+        cache_handle.unpersist()
+        st["sstate"], st["fstate"] = sstate, fstate
+        st["shards"] = sstate.view()
+
+        # ---- rank + fetch + parse = round rnd+1 (run_crawl numbering)
+        rnd += 1
+        pending = fstate.view().where(F.col("status") == "pending")
+        delay_dim = rules.select("host", "crawl_delay_s", "max_concurrency")
+        batch = rank_batch(
+            pending.join(F.broadcast(delay_dim), "host", "left"), cfg
+        ).drop("crawl_delay_s", "max_concurrency").cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            st["done"] = True
+            return
+        st["round"] = rnd
+        append_output(out_dir, "batches", batch.select("host", "url", "rank"), rnd)
+
+        fetched, missing = fetch_batch(batch, pages)
+        fetched = fetched.cache()
+        typed = fetched.withColumn("page_type", P.page_type_col())
+        parts = {}
+        cand_frames = []
+        _out, c = P.parse_landing(typed.where(F.col("page_type") == "landing"), args, cfg)
+        cand_frames.append(c)
+        res, c = P.parse_search(typed.where(F.col("page_type") == "search"), args, cfg)
+        parts["search_results"] = res
+        cand_frames.append(c)
+        pdp, c = P.parse_pdp(typed.where(F.col("page_type") == "pdp"), cfg)
+        parts["pdp_rows"] = pdp
+        cand_frames.append(c)
+        rev, c = P.parse_reviews(typed.where(F.col("page_type") == "reviews"), cfg)
+        parts["review_rows"] = rev
+        cand_frames.append(c)
+        candidates = cand_frames[0]
+        for cdf in cand_frames[1:]:
+            candidates = candidates.unionByName(cdf)
+
+        status_updates = (
+            fetched.select("url_hash").withColumn("new_status", F.lit("fetched"))
+            .unionByName(
+                missing.select("url_hash").withColumn("new_status", F.lit("missing"))
+            )
+        )
+        sentry = store.commit(
+            _next_snap(), {"status_log": status_updates}, finalize=False
+        )
+        fstate.status_paths.append(sentry["tables"]["status_log"]["path"])
+        fstate.status_rows += int(sentry["tables"]["status_log"]["rows"])
+        sentry["meta"]["frontier"] = fstate.to_meta()
+        sentry["meta"]["shards"] = sstate.to_meta()
+        sentry["meta"]["seen_exact"] = seen_store.to_meta()
+        store.publish(sentry)
+
+        for name, df in parts.items():
+            append_output(out_dir, name, df, rnd)
+        append_output(
+            out_dir, "metrics",
+            round_metrics(rnd, batch, fetched, missing, blocked_new, new_rows).drop("round"),
+            rnd,
+        )
+        # feedback edge: next round's candidates (may be EMPTY — still a
+        # file, so the stream keeps triggering while pending URLs remain)
+        _drop_cand_file(candidates, f"round-{rnd}")
+        batch.unpersist()
+        fetched.unpersist()
+
+    src = spark.readStream.schema(
+        "url string, parent_url string, depth int, listing_score double"
+    ).option("maxFilesPerTrigger", 1).parquet(cands_dir)
+
+    while not st["done"] and st["round"] < max_rounds:
+        before = st["round"]
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if st["round"] == before and not st["done"]:
+            break  # no progress and not explicitly finished — drained
+
+    rules.unpersist()
+    outputs = {}
+    for name in OUTPUT_TABLES:
+        path = os.path.join(out_dir, name)
+        try:
+            outputs[name] = spark.read.parquet(path) if os.path.exists(path) else None
+        except Exception:
+            outputs[name] = None
+    return {
+        "outputs": outputs,
+        "rounds": st["round"],
+        "seen_exact": seen_store.as_df(),
+        "frontier": st["fstate"].view() if st["fstate"] else None,
+    }

@@ -218,3 +218,51 @@ def test_frontier_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
     assert urls == ["https://a.example/1", "https://a.example/2", "https://b.example/3"]
     # the dup url appears exactly once, from the FIRST run's batch
     assert out.where("url = 'https://a.example/2'").select("batch_id").first()[0] == 0
+
+
+def test_streaming_crawl_equals_batch_crawl(spark, tmp_path_factory):
+    """Round-3 e2e: the FULL crawl driven through the Structured-
+    Streaming face (self-feeding candidate micro-batches) must equal
+    crawler.run_crawl — same batches in the same rounds, same parsed
+    listings, same exact seen set."""
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.crawler import run_crawl
+    from frontier_engine.fixtures import WorldSpec, generate_world
+    from frontier_engine.parse import CrawlArgs
+    from frontier_engine.streaming import run_crawl_stream
+
+    spec = WorldSpec(n_hosts=2, listings_total=12, max_reviews=40)
+    world = generate_world(spec)
+    args = CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
+    cfg = EngineConfig(n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2)
+    pages = spark.createDataFrame(world["pages"])
+    seeds = spark.createDataFrame(world["seeds"][["url"]])
+
+    batch_res = run_crawl(
+        spark, pages, cfg, args, seeds=seeds, max_rounds=40,
+        snapshot_dir=str(tmp_path_factory.mktemp("snap-batch")),
+    )
+    stream_res = run_crawl_stream(
+        spark, pages, cfg, args, seeds,
+        snapshot_dir=str(tmp_path_factory.mktemp("snap-stream")), max_rounds=40,
+    )
+
+    def batches(df):
+        return sorted((r["round"], r.host, r.url, r["rank"]) for r in df.collect())
+
+    assert stream_res["rounds"] == batch_res.rounds
+    assert batches(stream_res["outputs"]["batches"]) == batches(batch_res.outputs["batches"])
+    b_listings = sorted(
+        (r["round"], r.listing_id) for r in batch_res.outputs["search_results"].collect()
+    )
+    s_listings = sorted(
+        (r["round"], r.listing_id) for r in stream_res["outputs"]["search_results"].collect()
+    )
+    assert s_listings == b_listings
+    b_pdp = sorted(r.listing_id for r in batch_res.outputs["pdp_rows"].collect())
+    s_pdp = sorted(r.listing_id for r in stream_res["outputs"]["pdp_rows"].collect())
+    assert s_pdp == b_pdp
+    assert (
+        {r.canon_url for r in stream_res["seen_exact"].collect()}
+        == {r.canon_url for r in batch_res.seen_exact.collect()}
+    )
