@@ -278,6 +278,24 @@ def operator_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def _probe_eff(procs: int) -> float:
+    """Spark-free parallel-CPU ceiling at *procs* processes, measured in
+    THIS process's window (single-proc baseline / pool wall). Cheap
+    (~2.5 s) — each scaling child brackets its reps with it so
+    efficiency can be normalized against the hardware available to THAT
+    child, not the whole run's average."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _cpu_burn(0)
+    base = time.time() - t0
+    with mp.Pool(procs) as p:
+        t0 = time.time()
+        p.map(_cpu_burn, range(procs))
+        wall = time.time() - t0
+    return round(base / wall, 3)
+
+
 def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int = 5) -> None:
     """One subprocess = one session at local[n_cores]: untimed warmup,
     then *repeats* timed in-session runs; report median + all (the
@@ -300,6 +318,7 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int = 5) -> Non
     spark = get_spark(app_name=f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(n_cores * 2, 16), extra_conf=extra)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    probe_pre = _probe_eff(n_cores)
     rates, steals = [], []
 
     def timed(fn):
@@ -309,22 +328,30 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int = 5) -> Non
         rates.append(rate)
         steals.append((s1 - s0) if (s0 is not None and s1 is not None) else None)
 
+    def _clean_count() -> int:
+        return sum(1 for s in steals if s is not None and s <= STEAL_CLEAN_JIFFIES)
+
+    # sample until `repeats` reps land in steal-clean windows, bounded at
+    # repeats+3 total — a noisy host costs extra samples, never silently
+    # biases the estimate (EVERY rep's rate + steal delta is published)
+    max_reps = repeats + 3
     if job == "schedule":
         world = ScheduleWorld(spark, n_urls, tempfile.mkdtemp(dir=shm))
         world.pipeline_once()  # warmup: JIT + Python workers + broadcast
-        for _ in range(repeats):
+        while len(rates) < max_reps and (len(rates) < repeats or _clean_count() < repeats):
             timed(lambda: world.pipeline_once()["urls_per_sec"])
     else:
         pages = _parse_world_pages(spark).cache()
         n = pages.count()
         parse_pages_bench(spark, pages, n)  # warmup
-        for _ in range(repeats):
+        while len(rates) < max_reps and (len(rates) < repeats or _clean_count() < repeats):
             timed(lambda: parse_pages_bench(spark, pages, n)["pages_per_sec"])
     med = statistics.median(rates)
     clean = [r for r, s in zip(rates, steals) if s is not None and s <= STEAL_CLEAN_JIFFIES]
     r = {"rate": med, "rates": rates, "steal_jiffies": steals,
          "rate_clean": round(statistics.median(clean), 1) if clean else None,
          "clean_reps": len(clean),
+         "cpu_ceiling": round((probe_pre + _probe_eff(n_cores)) / 2, 3),
          "spread": round((max(rates) - min(rates)) / med, 3) if med else None,
          "cores": n_cores, "n": n_urls if job == "schedule" else None}
     print("SCALING_RESULT " + json.dumps(r))
@@ -335,7 +362,7 @@ def _run_child(job: str, cores: int, n_urls: int) -> dict | None:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--scaling-child",
          str(cores), str(n_urls), job],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=2400,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in p.stdout.splitlines():
@@ -372,10 +399,87 @@ def run_scaling(n_urls: int) -> dict:
             c2, c8 = jout["n2"].get("rate_clean"), jout["n8"].get("rate_clean")
             if c2 and c8:
                 jout["efficiency_clean"] = round((c8 / c2) / 4.0, 3)
+            # per-child ceiling normalization: each child measured its own
+            # Spark-free parallel-CPU ceiling (bracketing probes at ITS
+            # core count, in ITS window) — the hardware-allowed 2→8
+            # speedup is 4·(ceil8/ceil2), so divide it out
+            h2, h8 = jout["n2"].get("cpu_ceiling"), jout["n8"].get("cpu_ceiling")
+            if h2 and h8:
+                jout["efficiency_vs_child_ceiling"] = round(
+                    jout["efficiency"] / (h8 / h2), 3
+                )
         if "n8" in jout and "n32" in jout:
             jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
         out[job] = jout
     return out
+
+
+def _max_task_ms(spark, job_group: str) -> float | None:
+    """Max single-task duration (ms) across all stages of *job_group*,
+    via the status REST API (needs spark.ui.enabled). None on any
+    failure — the A/B then reports wall-clock only."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}"
+        jobs = _json.load(urllib.request.urlopen(f"{base}/jobs", timeout=10))
+        stage_ids = {
+            sid for j in jobs if j.get("jobGroup") == job_group for sid in j["stageIds"]
+        }
+        worst = 0.0
+        for sid in stage_ids:
+            url = f"{base}/stages/{sid}/0/taskSummary?quantiles=1.0"
+            try:
+                summ = _json.load(urllib.request.urlopen(url, timeout=10))
+            except Exception:
+                continue  # skipped/pending stage attempt
+            if summ.get("duration"):
+                worst = max(worst, float(summ["duration"][0]))
+        return worst or None
+    except Exception:
+        return None
+
+
+def _salt_ab_child(n_urls: int) -> None:
+    """Hot-host skew A/B (BASELINE evidence plan): the SAME 30%-hot-host
+    frontier ranked with salted=False vs salted=True. Reports wall-clock
+    and the max single-task time — the straggler the salting exists to
+    kill. Own subprocess so the UI/REST status server can be enabled."""
+    import tempfile
+
+    from frontier_engine.schedule import rank_batch
+    from frontier_engine.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    spark = get_spark(
+        app_name="bench-salt-ab", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4047"},
+    )
+    from frontier_engine.config import EngineConfig
+
+    cfg = EngineConfig(salt_partitions=16, round_seconds=1000.0, concurrent_per_host=100)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(dir=shm) + "/frontier"
+    synth_frontier(spark, n_urls).write.mode("overwrite").parquet(path)
+    fr = spark.read.parquet(path)
+    out = {"n": n_urls, "hot_host_share": 0.3, "salt_partitions": cfg.salt_partitions}
+    _noop(rank_batch(fr, cfg, salted=True))  # warmup both code paths
+    for salted in (False, True):
+        group = f"salt-ab-{salted}"
+        spark.sparkContext.setJobGroup(group, group)
+        t0 = time.time()
+        _noop(rank_batch(fr, cfg, salted=salted))
+        wall = time.time() - t0
+        spark.sparkContext.setJobGroup("", "")
+        key = "salted" if salted else "unsalted"
+        out[key] = {
+            "wall_s": round(wall, 2),
+            "max_task_ms": _max_task_ms(spark, group),
+        }
+    print("SALT_AB_RESULT " + json.dumps(out))
+    spark.stop()
 
 
 def _cpu_burn(_):
@@ -456,6 +560,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--main-child":
         _main_child()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--salt-ab-child":
+        _salt_ab_child(int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000)
+        return
 
     do_scaling = os.environ.get("BENCH_SCALING", "1") == "1"
     steal0 = _read_steal_jiffies()
@@ -478,6 +585,16 @@ def main() -> None:
     queries, sched, parse = res["queries"], res["sched"], res["parse"]
 
     scaling = run_scaling(SCALING_N) if do_scaling else {}
+    salt_ab = None
+    if os.environ.get("BENCH_SALT_AB", "1") == "1":
+        p2 = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--salt-ab-child", "4000000"],
+            capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in p2.stdout.splitlines():
+            if line.startswith("SALT_AB_RESULT "):
+                salt_ab = json.loads(line[len("SALT_AB_RESULT "):])
     if do_scaling:
         scaling["hardware_ceiling_pre"] = probe_pre
         scaling["hardware_ceiling"] = hardware_probe()
@@ -516,6 +633,7 @@ def main() -> None:
             "parse_detail": parse,
         },
         "scaling": scaling,
+        "salt_ab": salt_ab,
     }
     print(json.dumps(result))
 

@@ -101,7 +101,13 @@ def assign_discovered_seq(
     driver). A 10^7-candidate round runs as ``n_parts`` parallel sorts.
     """
     out, _n, handle = assign_discovered_seq_counted(candidates, seq_offset, n_parts)
-    handle.unpersist()  # convenience path: caller consumes eagerly
+    # The offsets were computed against the PERSISTED range partitioning;
+    # a recompute after unpersist could re-sample different partition
+    # boundaries (RangePartitioner seeds by rdd id) and shift every seq.
+    # Pin the result eagerly, then release the working frame. Callers
+    # that manage cache lifetime themselves use the _counted variant.
+    out = out.localCheckpoint(eager=True)
+    handle.unpersist()
     return out
 
 

@@ -35,13 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # runtime (exact-size) broadcast decisions: the dedupe anti-join's
-        # build side is the round's confirmed-dup hash set — bounded by the
-        # round's candidates (8 B/key ⇒ ~10^7 keys ≈ 80 MB), NOT by the
-        # frontier. Letting AQE broadcast it avoids re-shuffling the full
-        # candidate set every round; oversize rounds fall back to SMJ
-        # automatically. Static stats stay at the conservative default.
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
+        # Broadcast thresholds stay at the defaults (AQE runtime-sizes
+        # them). Measured, not assumed: raising the adaptive threshold to
+        # 128m so the dedupe anti-join's multi-MB dup-hash set broadcasts
+        # was ~5% SLOWER at both 2 and 8 cores than the shuffled hash
+        # join (the driver-side HashedRelation build for millions of keys
+        # is serial and GC-noisy), with equal scaling efficiency. Bounded
+        # small sides (politeness-bounded fetch batches, dims, deltas)
+        # still broadcast under the default threshold.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")

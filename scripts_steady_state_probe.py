@@ -44,13 +44,20 @@ def main():
     root = tempfile.mkdtemp(prefix="steady-")
     store = SeenExactStore(spark, os.path.join(root, "seen"), n_buckets=64)
     shards = S.empty_shards(spark)
-    shards_path = None
+    shard_base, shard_chain = None, []  # dirty-shard LSM (round-3 discipline)
 
     summary = []
-    for r in range(rounds):
-        # round r's candidates: urls [r*n/2, r*n/2 + n) — 50% seen before
-        lo = r * (n // 2)
-        base = spark.range(lo, lo + n)
+    for r in range(rounds + 1):
+        # round r's candidates: urls [r*n/2, r*n/2 + n) — 50% seen before.
+        # The FINAL extra round is SPARSE (32 new urls): the dirty-shard
+        # commit must shrink to touched-shards-only there (r3 item #3).
+        sparse = r == rounds
+        n_r = 64 if sparse else n
+        # sparse round uses ids far past every previous round so its
+        # candidates are genuinely NEW (otherwise 0 unseen ⇒ 0 dirty
+        # shards trivially, demonstrating nothing)
+        lo = (n * 100) if sparse else r * (n // 2)
+        base = spark.range(lo, lo + n_r)
         host = F.concat(F.lit("www.h"), (F.col("id") % 2000).cast("string"), F.lit(".example"))
         cand_raw = base.select(
             F.concat(F.lit("https://"), host, F.lit("/Page/"), F.col("id"), F.lit("?b=2&a=1")).alias("url"),
@@ -82,15 +89,23 @@ def main():
         pre_base = store.base_path
         store.append(new_keys, r, n_new=None)
         compacted = store.base_path != pre_base
-        shards = S.update_shards(
-            new_keys, shards, cfg.n_seen_shards, cfg.bloom_bits_per_shard, cfg.bloom_num_hashes
+        # dirty-shard delta commit + merge-on-read chain (as the crawler)
+        dirty = S.update_shards(
+            new_keys, shards, cfg.n_seen_shards, cfg.bloom_bits_per_shard,
+            cfg.bloom_num_hashes, dirty_only=True,
         )
         sp = os.path.join(root, f"shards-{r}")
-        shards.write.mode("overwrite").parquet(sp)
-        shards = spark.read.parquet(sp)
-        if shards_path:
-            shutil.rmtree(shards_path, ignore_errors=True)
-        shards_path = sp
+        if len(shard_chain) >= 8:
+            S.resolve_shards(spark, shard_base, shard_chain, extra_df=dirty).write.mode(
+                "overwrite").parquet(sp)
+            shard_base, shard_chain = sp, []
+        else:
+            dirty.write.mode("overwrite").parquet(sp)
+            if shard_base is None:
+                shard_base = sp
+            else:
+                shard_chain.append(sp)
+        shards = S.resolve_shards(spark, shard_base, shard_chain)
         t_commit = time.time() - t0
 
         new_paths = [p for p in store.delta_paths if p not in pre_deltas]
@@ -98,22 +113,28 @@ def main():
             new_paths = [store.base_path]
         commit_bytes = dir_bytes(*new_paths) + dir_bytes(sp)
         row = {
-            "round": r, "candidates": n, "batch": n_batch,
+            "round": r, "candidates": n_r, "batch": n_batch,
             "seen_total": store._base_rows + store._delta_rows,
             "t_schedule_s": round(t_sched, 2), "t_commit_s": round(t_commit, 2),
-            "urls_per_sec": round(n / (t_sched + t_commit), 1),
+            "urls_per_sec": round(n_r / (t_sched + t_commit), 1),
             "commit_mb": round(commit_bytes / 1e6, 1),
+            "dirty_shards": dirty.count() if sparse else None,
             "compacted": compacted,
+            "cached_frames": spark.sparkContext._jsc.getPersistentRDDs().size(),
+            "sparse": sparse,
         }
         summary.append(row)
         print(json.dumps(row), flush=True)
 
-    steady = [r for r in summary[1:] if not r["compacted"]]
+    steady = [r for r in summary[1:] if not r["compacted"] and not r["sparse"]]
     print(json.dumps({
         "rounds": rounds, "urls_per_round": n,
         "steady_urls_per_sec_median": sorted(r["urls_per_sec"] for r in steady)[len(steady) // 2] if steady else None,
         "steady_commit_mb": [r["commit_mb"] for r in summary],
+        "sparse_round_commit_mb": summary[-1]["commit_mb"],
+        "sparse_round_dirty_shards": summary[-1]["dirty_shards"],
         "t_schedule_trend": [r["t_schedule_s"] for r in summary],
+        "cached_frames_trend": [r["cached_frames"] for r in summary],
     }))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
