@@ -515,6 +515,38 @@ def q_minhash_dedup(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_join(spark, sf_dir):
+    """Round-3 incremental ingest dedup (textops.minhash_dedup_join):
+    near-dup pairs between a NEW batch (copies of doc_id<60 at +100000 —
+    SQL-derivable) and the existing corpus, never corpus×corpus. Driver
+    uses 16 bands × 2 rows: at the threshold J=0.8 the per-pair LSH miss
+    probability is (1−0.8²)¹⁶ ≈ 8.5e-8, so the 7 genuinely-near
+    (0.8 ≤ J < 1) cross pairs in this corpus are caught along with the
+    60 exact ones, and the output equals the oracle's exact cross
+    Jaccard sweep."""
+    from frontier_engine.textops import minhash_dedup_join
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") < 60).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return minhash_dedup_join(new, d, num_hashes=32, bands=16, threshold=0.8)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Round-3 data-mixing op (textops.stratified_sample): deterministic
+    per-language quota sampling — rank by (md5(doc_id), doc_id) within
+    lang, keep rank ≤ quota; languages without a quota drop. md5 hex is
+    engine-identical, so the oracle recomputes the exact permutation."""
+    from frontier_engine.textops import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"en": 40, "de": 25, "fr": 10}, group_col="lang", id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup detection, checked on SQL-derivable planted
     duplicates: exact copies of doc_id<100 re-id'd at +10000 MUST collide
@@ -1122,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_join": q_ivf_topk_join,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_join": q_minhash_dedup_join,
+        "stratified_sample": q_stratified_sample,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "url_canonicalize": q_url_canonicalize,
@@ -1890,6 +1924,41 @@ def _oracle_sql_build() -> dict[str, str]:
               WHERE a.doc_id < b.doc_id
                 AND length(list_distinct(list_concat(a.sh, b.sh))) > 0
             ) WHERE raw >= 0.8
+        """,
+        "minhash_dedup_join": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN length(w) >= 3 THEN
+                       list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, length(w) - 1)])
+                     ELSE [] END AS sh
+              FROM norm
+            ),
+            newb AS (SELECT doc_id + 100000 AS doc_id, sh FROM grams WHERE doc_id < 60)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+                     CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                           length(list_distinct(list_concat(a.sh, b.sh))) AS raw
+              FROM newb a, grams b
+              WHERE length(list_distinct(list_concat(a.sh, b.sh))) > 0
+            ) WHERE raw >= 0.8
+        """,
+        "stratified_sample": """
+            WITH q(lang, quota) AS (VALUES ('en', 40), ('de', 25), ('fr', 10)),
+            ranked AS (
+              SELECT d.doc_id, d.lang, q.quota,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ) AS sample_rank
+              FROM documents d JOIN q ON d.lang = q.lang
+            )
+            SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+            FROM ranked WHERE sample_rank <= quota
         """,
         "simhash_pairs": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS INT) AS hamming

@@ -149,6 +149,121 @@ def minhash_dedup_pairs(
     return jaccard_pairs(docs, cands, text_col, id_col, shingle_n, threshold)
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows — one per LSH band of each signature."""
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_dedup_join(
+    new_docs: DataFrame, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", num_hashes: int = 32, bands: int = 8,
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL near-dup: pairs (new_id, corpus_id, jaccard ≥ t)
+    between an incoming batch and an existing corpus — the ingest-time
+    dedup a continuously-crawled 100 TB corpus actually runs (round-3;
+    `minhash_dedup_pairs` is the one-shot whole-corpus sweep).
+
+    Scale shape: the corpus side's signatures/band-buckets are a
+    precomputable TABLE (on a real deployment stored once, partitioned by
+    (band, bucket) — this function recomputes them for self-containment);
+    per ingest only the batch's signatures are computed, the candidate
+    join keys on (band, bucket) so the corpus is never self-joined and
+    the batch never meets more than its colliding buckets, and the exact
+    Jaccard verify touches candidate pairs only. Cost per ingest is
+    O(batch + collisions), independent of corpus size. Ids must be
+    disjoint across the two tables (asserted nowhere — caller contract,
+    same as MERGE keys)."""
+    rows_per_band = num_hashes // bands
+    new_b = _band_buckets(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
+        id_col, bands, rows_per_band,
+    )
+    old_b = _band_buckets(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n),
+        id_col, bands, rows_per_band,
+    )
+    cands = (
+        new_b.alias("a").join(old_b.alias("b"), ["band", "bucket"])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("id_a"), word_shingles(F.col(text_col), shingle_n).alias("sh_a")
+    )
+    sh_old = corpus.select(
+        F.col(id_col).alias("id_b"), word_shingles(F.col(text_col), shingle_n).alias("sh_b")
+    )
+    return (
+        cands.join(sh_new, "id_a").join(sh_old, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .where(F.col("uni") > 0)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, quotas: dict[str, int], group_col: str = "lang",
+    id_col: str = "doc_id", salt_partitions: int = 16,
+) -> DataFrame:
+    """Deterministic per-group quota sampling — the data-mixing op a
+    training-data pipeline runs to rebalance a corpus (keep at most
+    quotas[g] rows of group g, e.g. per language or domain).
+
+    Selection is an EXACT deterministic rank: rows order by
+    (md5(id), id) within their group — a stable pseudo-random
+    permutation requiring no RNG state, reproducible by any engine
+    (md5 hex is identical in Spark, DuckDB, Python — the oracle twin
+    recomputes it verbatim) — and rank ≤ quota survives. Groups absent
+    from *quotas* are dropped.
+
+    Skew shape (same two-phase trick as schedule.rank_batch): a group
+    holding half the corpus would make one window partition the
+    straggler, so phase 1 pre-top-ks within (group, salt) — each salt
+    can contribute at most the full quota — and phase 2 ranks the
+    ≤ salts×quota survivors exactly. Result is identical to the naive
+    single window (phase 1 never drops a row the global top-quota
+    needs). For quotas so large the survivor set itself is huge, use a
+    hash-threshold rate instead (keep iff pmod(hash, M) < rate·M —
+    stateless, shuffle-free, approximate counts)."""
+    from pyspark.sql import Window
+
+    kv = []
+    for g, q in quotas.items():
+        kv += [F.lit(g), F.lit(int(q))]
+    quota_col = F.try_element_at(F.create_map(*kv), F.col(group_col))
+    df = docs.withColumn("_quota", quota_col).where(F.col("_quota").isNotNull())
+    order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)), F.lit(salt_partitions))
+        w1 = Window.partitionBy(group_col, "salt").orderBy(*order)
+        df = (
+            df.withColumn("salt", salt)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("_quota"))
+            .drop("_r1", "salt")
+        )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -131,3 +131,51 @@ def test_duplicate_spans_exact(spark):
     assert out[3] == (5, 0, 0.0)
     assert 4 not in out  # no 6-word span
     assert abs(out[1][2] - 0.25) < 1e-9
+
+
+def test_minhash_dedup_join_incremental(spark):
+    """Round-3 incremental ingest dedup: new-batch vs corpus pairs only —
+    never corpus×corpus — with exact-Jaccard values."""
+    from frontier_engine.textops import minhash_dedup_join
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "a completely different document about spark shuffles and joins here"),
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),  # dup of 1
+    ]
+    new_rows = [
+        (101, "the quick brown fox jumps over the lazy dog again and again today"),  # dup of 1,3
+        (102, "totally novel text that matches nothing in the existing corpus at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in minhash_dedup_join(new, corpus).collect()}
+    assert set(got) == {(101, 1), (101, 3)}
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Round-3 data-mixing op: per-group quotas exact, groups without a
+    quota dropped, result deterministic and salt-invariant."""
+    import pyspark.sql.functions as F
+
+    from frontier_engine.textops import stratified_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "en")
+        .when(F.col("id") % 10 < 8, "de")
+        .when(F.col("id") % 10 < 9, "fr")
+        .otherwise("zz").alias("lang"),
+    )
+    quotas = {"en": 15, "de": 40, "fr": 5}  # de quota (40) > group size (40 exactly)
+    out = stratified_sample(df, quotas, group_col="lang", id_col="doc_id")
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"en": 15, "de": 40, "fr": 5}  # zz dropped; de capped at size
+    rows1 = sorted((r.doc_id, r.lang, r.sample_rank) for r in out.collect())
+    rows2 = sorted((r.doc_id, r.lang, r.sample_rank) for r in out.collect())
+    unsalted = sorted(
+        (r.doc_id, r.lang, r.sample_rank)
+        for r in stratified_sample(df, quotas, group_col="lang", salt_partitions=1).collect()
+    )
+    assert rows1 == rows2 == unsalted  # deterministic AND salt-invariant
