@@ -268,6 +268,8 @@ def operator_queries(spark, sf_dir: str) -> dict:
         "ann_brute_topk", "seen_bloom",
         # round-2 additions
         "duplicate_spans", "semantic_dedup", "ttl_recrawl", "ivf_ann",
+        # round-3 additions
+        "ivf_topk_join", "minhash_dedup_join", "stratified_sample", "export_grid",
     ]
     qs = E.queries()
     out = {}
