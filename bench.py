@@ -545,9 +545,13 @@ def _main_child() -> None:
     from frontier_engine.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
-    queries = operator_queries(spark, SF_DIR)
+    # headline jobs FIRST: the operator-query sweep (2 dozen unrelated
+    # plans) inflates old-gen heap and drags the staged dedupe timings
+    # when it runs before them — measured 6.5 s vs 22 s for the same
+    # dedupe stage depending on order/window
     sched = schedule_round(spark, FRONTIER_N)
     parse = parse_pages_bench(spark)
+    queries = operator_queries(spark, SF_DIR)
     queries["schedule_round_1m"] = sched["t_total"]
     queries["parse_pages"] = parse["sec"]
     print("MAIN_RESULT " + json.dumps({"queries": queries, "sched": sched, "parse": parse}))

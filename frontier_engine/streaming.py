@@ -372,9 +372,10 @@ def run_crawl_stream(
     pages: DataFrame,
     cfg: EngineConfig,
     args: P.CrawlArgs,
-    seeds: DataFrame,
+    seeds: DataFrame | None = None,
     snapshot_dir: str | None = None,
     max_rounds: int = 50,
+    resume: bool = False,
 ):
     """The FULL crawl through the Structured-Streaming face (round-3):
     each scheduling round is one micro-batch of a self-feeding candidate
@@ -398,6 +399,29 @@ def run_crawl_stream(
     streaming engine's checkpoint contract; engine state (seen store,
     shard blobs, frontier) rides the same snapshot manifests as the
     batch path.
+
+    ``resume=True`` continues an interrupted stream from the same
+    *snapshot_dir*: the file-source checkpoint replays any micro-batch
+    whose offsets were not committed, and engine state reloads from the
+    snapshot manifests. Replay is made exact by two rules: (a) a
+    manifest whose ``phase`` is ``ingest`` (crash mid-batch, between the
+    ingest commit and the round's status commit) is rolled back to its
+    parent round boundary, so the replayed batch re-ingests against
+    pre-batch state (deterministic seq assignment ⇒ identical result);
+    (b) a replayed batch whose round fully committed
+    (``last_batch_id`` ≥ batch id — crash after publish but before the
+    checkpoint commit) is skipped outright, since its effects are
+    already durable. Verified by the resume == straight-through parity
+    test.
+
+    Boundary note for ROUND-CAPPED runs: the batch driver ingests a
+    round's discoveries within that round, while the streaming face
+    ingests them in the NEXT micro-batch — so a `max_rounds`-capped
+    stream stops with the final round's discoveries still in its
+    candidate file (one ingest behind the batch driver's state). The
+    outputs/batches are identical either way; a ``resume`` ingests the
+    pending file and re-converges, and a run-to-exhaustion is exactly
+    equal (parity-tested).
 
     Returns a dict: outputs (name → DataFrame), rounds, seen_exact,
     frontier.
@@ -438,16 +462,42 @@ def run_crawl_stream(
         shutil.move(part, os.path.join(cands_dir, f"{tag}.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    seed_cands = seeds.select(
-        F.col("url"), F.lit("").alias("parent_url"),
-        F.lit(0).alias("depth"), F.lit(0.0).alias("listing_score"),
-    )
-    _drop_cand_file(seed_cands, "seed")
-
     st = {
-        "round": 0, "seq": 0, "snap": 0, "done": False,
+        "round": 0, "seq": 0, "snap": 0, "done": False, "last_batch": -1,
         "shards": S.empty_shards(spark), "sstate": None, "fstate": None,
     }
+    if resume:
+        sid = store.latest_id()
+        man = store.manifest(sid) if sid is not None else None
+        if man and man["meta"].get("phase") == "ingest" and man["parent_id"] is not None:
+            # crash landed between the ingest commit and the round's
+            # status commit — roll back to the round boundary; the
+            # uncommitted micro-batch replays against pre-batch state
+            sid = man["parent_id"]
+            store.rollback(sid)
+            man = store.manifest(sid)
+        if man and man["meta"].get("phase") != "ingest":
+            meta = man["meta"]
+            seen_store = SeenExactStore.from_meta(
+                spark, os.path.join(snapshot_dir, "seen_exact_store"), meta["seen_exact"]
+            )
+            seen_store.compact_ratio = cfg.seen_compact_ratio
+            fstate = _FrontierState.from_meta(spark, meta["frontier"])
+            sstate = _ShardState.from_meta(spark, meta["shards"])
+            st.update(
+                round=int(meta["round"]), seq=int(meta["seq_offset"]),
+                snap=int(man["snapshot_id"]),
+                last_batch=int(meta.get("last_batch_id", -1)),
+                sstate=sstate, fstate=fstate, shards=sstate.view(),
+            )
+    else:
+        if seeds is None:
+            raise ValueError("seeds required for a fresh streaming crawl")
+        seed_cands = seeds.select(
+            F.col("url"), F.lit("").alias("parent_url"),
+            F.lit(0).alias("depth"), F.lit(0.0).alias("listing_score"),
+        )
+        _drop_cand_file(seed_cands, "seed")
 
     def _next_snap() -> int:
         st["snap"] += 1
@@ -456,6 +506,8 @@ def run_crawl_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if st["done"]:
             return
+        if batch_id <= st["last_batch"]:
+            return  # replayed batch whose round already fully committed
         rnd = st["round"]  # commits for state as of THIS ingest
         pending_new, blocked_new, shards_dirty, unseen, n_new, cache_handle = (
             _ingest_candidates(
@@ -467,10 +519,12 @@ def run_crawl_stream(
         new_rows = pending_new.unionByName(blocked_new)
 
         sstate, fstate = st["sstate"], st["fstate"]
+        imeta = {"round": rnd, "seq_offset": st["seq"], "phase": "ingest",
+                 "last_batch_id": st["last_batch"]}
         if sstate is None:  # seed micro-batch: establish the state bases
             entry = store.commit(
                 _next_snap(), {"frontier_base": new_rows, "seen_shards": shards_dirty},
-                meta={"round": rnd, "seq_offset": st["seq"]}, finalize=False,
+                meta=imeta, finalize=False,
             )
             fstate = _FrontierState(
                 spark, [entry["tables"]["frontier_base"]["path"]], [], [],
@@ -480,7 +534,7 @@ def run_crawl_stream(
         else:
             entry = store.commit(
                 _next_snap(), {"frontier_delta": new_rows, "seen_shards": shards_dirty},
-                meta={"round": rnd, "seq_offset": st["seq"]}, finalize=False,
+                meta=imeta, finalize=False,
             )
             fstate.delta_paths.append(entry["tables"]["frontier_delta"]["path"])
             fstate.base_rows += int(entry["tables"]["frontier_delta"]["rows"])
@@ -504,6 +558,19 @@ def run_crawl_stream(
         if n_batch == 0:
             batch.unpersist()
             st["done"] = True
+            # done marker: promotes the final ingest to a round boundary
+            # so a resume never rolls back the crawl's last discoveries
+            dentry = store.commit(
+                _next_snap(), {},
+                meta={"round": st["round"], "seq_offset": st["seq"],
+                      "phase": "round_done", "last_batch_id": batch_id},
+                finalize=False,
+            )
+            dentry["meta"]["frontier"] = fstate.to_meta()
+            dentry["meta"]["shards"] = sstate.to_meta()
+            dentry["meta"]["seen_exact"] = seen_store.to_meta()
+            store.publish(dentry)
+            st["last_batch"] = batch_id
             return
         st["round"] = rnd
         append_output(out_dir, "batches", batch.select("host", "url", "rank"), rnd)
@@ -534,16 +601,6 @@ def run_crawl_stream(
                 missing.select("url_hash").withColumn("new_status", F.lit("missing"))
             )
         )
-        sentry = store.commit(
-            _next_snap(), {"status_log": status_updates}, finalize=False
-        )
-        fstate.status_paths.append(sentry["tables"]["status_log"]["path"])
-        fstate.status_rows += int(sentry["tables"]["status_log"]["rows"])
-        sentry["meta"]["frontier"] = fstate.to_meta()
-        sentry["meta"]["shards"] = sstate.to_meta()
-        sentry["meta"]["seen_exact"] = seen_store.to_meta()
-        store.publish(sentry)
-
         for name, df in parts.items():
             append_output(out_dir, name, df, rnd)
         append_output(
@@ -552,8 +609,26 @@ def run_crawl_stream(
             rnd,
         )
         # feedback edge: next round's candidates (may be EMPTY — still a
-        # file, so the stream keeps triggering while pending URLs remain)
+        # file, so the stream keeps triggering while pending URLs remain).
+        # Written BEFORE the round-boundary commit: a crash in between
+        # replays the batch (ingest-phase rollback) and regenerates the
+        # identical file; the reverse order could mark the round done
+        # with its feedback file never written — a stalled crawl.
         _drop_cand_file(candidates, f"round-{rnd}")
+
+        sentry = store.commit(
+            _next_snap(), {"status_log": status_updates},
+            meta={"round": rnd, "seq_offset": st["seq"], "phase": "round_done",
+                  "last_batch_id": batch_id},
+            finalize=False,
+        )
+        fstate.status_paths.append(sentry["tables"]["status_log"]["path"])
+        fstate.status_rows += int(sentry["tables"]["status_log"]["rows"])
+        sentry["meta"]["frontier"] = fstate.to_meta()
+        sentry["meta"]["shards"] = sstate.to_meta()
+        sentry["meta"]["seen_exact"] = seen_store.to_meta()
+        store.publish(sentry)
+        st["last_batch"] = batch_id
         batch.unpersist()
         fetched.unpersist()
 

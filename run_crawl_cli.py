@@ -3,11 +3,16 @@
 
     spark-submit --py-files frontier_engine.zip run_crawl_cli.py \
         --pages /data/pages --seeds /data/seeds --snapshot-dir /data/crawl1 \
-        [--resume] [--max-rounds 50] [--checkin 2026-09-01 ...]
+        [--resume] [--stream] [--max-rounds 50] [--checkin 2026-09-01 ...]
+
+``--stream`` drives the crawl through the Structured-Streaming face
+(streaming.run_crawl_stream — self-feeding candidate micro-batches,
+checkpointed; batch-identical output, resumable with --resume).
 
 Local smoke (this sandbox):
 
     python run_crawl_cli.py --demo-world /tmp/demo --max-rounds 10
+    python run_crawl_cli.py --demo-world /tmp/demo2 --max-rounds 10 --stream
 """
 
 from __future__ import annotations
@@ -22,6 +27,8 @@ def main() -> None:
     ap.add_argument("--seeds", help="parquet dir with a url column (depth-0 seeds)")
     ap.add_argument("--snapshot-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="run via the Structured-Streaming face (run_crawl_stream)")
     ap.add_argument("--max-rounds", type=int, default=50)
     ap.add_argument("--checkin", default=None)
     ap.add_argument("--checkout", default=None)
@@ -52,17 +59,34 @@ def main() -> None:
         seeds = spark.read.parquet(args.seeds).select("url") if args.seeds else None
         crawl_args = CrawlArgs(args.checkin, args.checkout, args.price_max)
 
-    res = run_crawl(
-        spark, pages, cfg, crawl_args, seeds=seeds,
-        max_rounds=args.max_rounds, snapshot_dir=args.snapshot_dir, resume=args.resume,
-    )
-    summary = {
-        "rounds": res.rounds,
-        "snapshot_dir": res.store.root,
-        "frontier_rows": res.frontier.count(),
-        "seen": res.seen_exact.count(),
-        "batches": res.outputs["batches"].count() if res.outputs.get("batches") is not None else 0,
-    }
+    if args.stream:
+        from frontier_engine.streaming import run_crawl_stream
+
+        sres = run_crawl_stream(
+            spark, pages, cfg, crawl_args, seeds=seeds,
+            snapshot_dir=args.snapshot_dir, max_rounds=args.max_rounds,
+            resume=args.resume,
+        )
+        summary = {
+            "mode": "stream",
+            "rounds": sres["rounds"],
+            "frontier_rows": sres["frontier"].count() if sres["frontier"] is not None else 0,
+            "seen": sres["seen_exact"].count(),
+            "batches": sres["outputs"]["batches"].count()
+            if sres["outputs"].get("batches") is not None else 0,
+        }
+    else:
+        res = run_crawl(
+            spark, pages, cfg, crawl_args, seeds=seeds,
+            max_rounds=args.max_rounds, snapshot_dir=args.snapshot_dir, resume=args.resume,
+        )
+        summary = {
+            "rounds": res.rounds,
+            "snapshot_dir": res.store.root,
+            "frontier_rows": res.frontier.count(),
+            "seen": res.seen_exact.count(),
+            "batches": res.outputs["batches"].count() if res.outputs.get("batches") is not None else 0,
+        }
     print(json.dumps(summary))
     spark.stop()
 

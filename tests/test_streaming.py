@@ -266,3 +266,43 @@ def test_streaming_crawl_equals_batch_crawl(spark, tmp_path_factory):
         {r.canon_url for r in stream_res["seen_exact"].collect()}
         == {r.canon_url for r in batch_res.seen_exact.collect()}
     )
+
+
+def test_streaming_crawl_resume_equals_straight_through(spark, tmp_path_factory):
+    """Round-3: an interrupted streaming crawl resumed from its
+    checkpoint + snapshot manifests must equal the uninterrupted run
+    (and therefore the batch crawler) — same batches, same seen set."""
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.fixtures import WorldSpec, generate_world
+    from frontier_engine.parse import CrawlArgs
+    from frontier_engine.streaming import run_crawl_stream
+
+    spec = WorldSpec(n_hosts=2, listings_total=12, max_reviews=40)
+    world = generate_world(spec)
+    args = CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
+    cfg = EngineConfig(n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2)
+    pages = spark.createDataFrame(world["pages"])
+    seeds = spark.createDataFrame(world["seeds"][["url"]])
+
+    full = run_crawl_stream(
+        spark, pages, cfg, args, seeds,
+        snapshot_dir=str(tmp_path_factory.mktemp("stream-full")), max_rounds=40,
+    )
+    part_dir = str(tmp_path_factory.mktemp("stream-part"))
+    partial = run_crawl_stream(
+        spark, pages, cfg, args, seeds, snapshot_dir=part_dir, max_rounds=3,
+    )
+    assert partial["rounds"] == 3 < full["rounds"]
+    resumed = run_crawl_stream(
+        spark, pages, cfg, args, snapshot_dir=part_dir, max_rounds=40, resume=True,
+    )
+
+    def batches(df):
+        return sorted((r["round"], r.host, r.url, r["rank"]) for r in df.collect())
+
+    assert resumed["rounds"] == full["rounds"]
+    assert batches(resumed["outputs"]["batches"]) == batches(full["outputs"]["batches"])
+    assert (
+        {r.canon_url for r in resumed["seen_exact"].collect()}
+        == {r.canon_url for r in full["seen_exact"].collect()}
+    )
