@@ -85,6 +85,21 @@ def main():
     print(p[:2000])
     print(f"AUDIT pushedFilters={'PushedFilters: [' in p} readSchemaPruned={'html' not in p.split('ReadSchema')[-1] if 'ReadSchema' in p else None}")
 
+    print("=" * 20, "6. fetch join (r3 inner+anti decomposition — batch broadcastable)")
+    from frontier_engine.fetch import fetch_batch
+
+    pg2 = pg.select("url", F.current_timestamp().alias("warc_ts"), "html", "text", "lang")
+    batch = fr.limit(500).select("url", "host", F.lit(1).alias("rank"))
+    fetched, missing = fetch_batch(batch, pg2)
+    fetched.write.format("noop").mode("overwrite").save()
+    pf = plan(fetched)
+    print(pf[:2000])
+    print(
+        "AUDIT fetchBroadcastsBatch="
+        f"{'BroadcastHashJoin' in pf} pagesSideExchangeFree="
+        f"{'Exchange hashpartitioning' not in pf}"
+    )
+
     spark.stop()
 
 
