@@ -89,7 +89,10 @@ def main():
     from frontier_engine.fetch import fetch_batch
 
     pg2 = pg.select("url", F.current_timestamp().alias("warc_ts"), "html", "text", "lang")
-    batch = fr.limit(500).select("url", "host", F.lit(1).alias("rank"))
+    batch = fr.limit(500).select(
+        "url", F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        F.lit(1).alias("rank"),
+    )
     fetched, missing = fetch_batch(batch, pg2)
     fetched.write.format("noop").mode("overwrite").save()
     pf = plan(fetched)
