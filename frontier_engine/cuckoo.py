@@ -251,7 +251,11 @@ def delete_cuckoo_shards(expired, shards, n_shards: int, n_buckets: int):
 
     from frontier_engine.seen import SHARD_SCHEMA, shard_id_col
 
-    dels = expired.select("url_hash").withColumn(
+    # Multiset discipline: insert adds ONE slot copy per distinct key, so
+    # delete must remove at most one copy per key per expire batch — a
+    # duplicated url_hash in `expired` would otherwise pop two copies and
+    # can clear a colliding live key's slot (ADVICE r3).
+    dels = expired.select("url_hash").dropDuplicates(["url_hash"]).withColumn(
         "shard_id", shard_id_col(F.col("url_hash"), n_shards)
     )
 

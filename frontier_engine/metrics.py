@@ -31,29 +31,43 @@ def empty_metrics(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], METRICS_SCHEMA)
 
 
-def round_metrics(
-    round_no: int,
-    batch: DataFrame,
-    fetched: DataFrame,
-    missing: DataFrame,
-    blocked: DataFrame,
-    new_candidates: DataFrame,
-) -> DataFrame:
-    """One aggregation job per round over the (small) per-round frames."""
+def _per_host(df: DataFrame, name: str, extra=None) -> DataFrame:
+    aggs = [F.count("*").alias(name)]
+    if extra is not None:
+        aggs.append(extra)
+    return df.groupBy("host").agg(*aggs)
 
-    def per_host(df: DataFrame, name: str, extra=None) -> DataFrame:
-        aggs = [F.count("*").alias(name)]
-        if extra is not None:
-            aggs.append(extra)
-        return df.groupBy("host").agg(*aggs)
 
-    m = (
-        per_host(batch, "scheduled")
-        .join(per_host(fetched, "fetched", F.sum(F.octet_length("html")).alias("bytes_fetched")), "host", "full")
-        .join(per_host(missing, "missing"), "host", "full")
-        .join(per_host(blocked, "robots_blocked"), "host", "full")
-        .join(per_host(new_candidates, "new_candidates"), "host", "full")
+def fetch_side_metrics(batch: DataFrame, fetched: DataFrame, missing: DataFrame) -> DataFrame:
+    """The half of a round's metrics known at fetch time: per-host
+    scheduled/fetched/missing counts + bytes. The streaming face stashes
+    this half and completes the row when the round's discoveries are
+    actually ingested (next micro-batch) — so the metrics table is
+    batch-identical, not shifted by one round (ADVICE r3)."""
+    return (
+        _per_host(batch, "scheduled")
+        .join(
+            _per_host(
+                fetched, "fetched", F.sum(F.octet_length("html")).alias("bytes_fetched")
+            ),
+            "host",
+            "full",
+        )
+        .join(_per_host(missing, "missing"), "host", "full")
     )
+
+
+def ingest_side_metrics(blocked: DataFrame, new_candidates: DataFrame) -> DataFrame:
+    """The half of a round's metrics known only at candidate-ingest time:
+    per-host robots_blocked / new_candidates counts."""
+    return _per_host(blocked, "robots_blocked").join(
+        _per_host(new_candidates, "new_candidates"), "host", "full"
+    )
+
+
+def combine_metrics(round_no: int, fetch_side: DataFrame, ingest_side: DataFrame) -> DataFrame:
+    """Join the two halves into the final METRICS_SCHEMA row set."""
+    m = fetch_side.join(ingest_side, "host", "full")
     zero = F.lit(0).cast("long")
     return m.select(
         F.lit(round_no).cast("int").alias("round"),
@@ -64,4 +78,23 @@ def round_metrics(
         F.coalesce("robots_blocked", zero).alias("robots_blocked"),
         F.coalesce("bytes_fetched", zero).alias("bytes_fetched"),
         F.coalesce("new_candidates", zero).alias("new_candidates"),
+    )
+
+
+def round_metrics(
+    round_no: int,
+    batch: DataFrame,
+    fetched: DataFrame,
+    missing: DataFrame,
+    blocked: DataFrame,
+    new_candidates: DataFrame,
+) -> DataFrame:
+    """One aggregation job per round over the (small) per-round frames.
+    Defined as combine(fetch_side, ingest_side) so the batch driver and
+    the streaming face (which computes the halves at different times)
+    cannot diverge semantically."""
+    return combine_metrics(
+        round_no,
+        fetch_side_metrics(batch, fetched, missing),
+        ingest_side_metrics(blocked, new_candidates),
     )

@@ -99,13 +99,21 @@ def assign_discovered_seq(
     so rank falls out of pure JVM expressions; the only extra job is a
     map-side-aggregated per-partition count (``n_parts`` rows to the
     driver). A 10^7-candidate round runs as ``n_parts`` parallel sorts.
+
+    RETENTION COST (ADVICE r3): this convenience wrapper eagerly
+    ``localCheckpoint``s the result — the offsets were computed against
+    the PERSISTED range partitioning, and a recompute after unpersist
+    could re-sample different RangePartitioner boundaries (seeded by rdd
+    id) and shift every seq. The checkpointed blocks stay resident in
+    executor storage until the returned DataFrame is garbage-collected
+    (callers get no release handle), and the truncated lineage is
+    unrecoverable on executor loss. Fine for one-shot callers; ANY loop
+    or long-lived caller must use :func:`assign_discovered_seq_counted`
+    instead (as the crawler does), which returns the persisted handle so
+    the caller controls exactly when storage is released — no
+    checkpoint, no pinned blocks.
     """
     out, _n, handle = assign_discovered_seq_counted(candidates, seq_offset, n_parts)
-    # The offsets were computed against the PERSISTED range partitioning;
-    # a recompute after unpersist could re-sample different partition
-    # boundaries (RangePartitioner seeds by rdd id) and shift every seq.
-    # Pin the result eagerly, then release the working frame. Callers
-    # that manage cache lifetime themselves use the _counted variant.
     out = out.localCheckpoint(eager=True)
     handle.unpersist()
     return out

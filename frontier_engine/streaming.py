@@ -414,14 +414,25 @@ def run_crawl_stream(
     already durable. Verified by the resume == straight-through parity
     test.
 
+    Metrics parity (ADVICE r3 fix): a round's metrics row needs both its
+    fetch-side counts (known when the round runs) and its ingest-side
+    counts (known only when its discoveries are ingested — the NEXT
+    micro-batch here). The round phase stashes the fetch-side half
+    (``metrics_stash/round-N``); the next ingest completes and publishes
+    the row via the same ``combine_metrics`` the batch driver uses, so
+    the metrics table is batch-identical — including the final round,
+    whose row lands on the done path's ingest. Pinned by the parity test.
+
     Boundary note for ROUND-CAPPED runs: the batch driver ingests a
     round's discoveries within that round, while the streaming face
     ingests them in the NEXT micro-batch — so a `max_rounds`-capped
     stream stops with the final round's discoveries still in its
-    candidate file (one ingest behind the batch driver's state). The
-    outputs/batches are identical either way; a ``resume`` ingests the
-    pending file and re-converges, and a run-to-exhaustion is exactly
-    equal (parity-tested).
+    candidate file (one ingest behind the batch driver's state), and
+    that final round's metrics row still stashed (it completes at the
+    resume's first ingest). The outputs/batches are identical either
+    way; a ``resume`` ingests the pending file and re-converges, and a
+    run-to-exhaustion is exactly equal (parity-tested, metrics
+    included).
 
     Returns a dict: outputs (name → DataFrame), rounds, seen_exact,
     frontier.
@@ -436,7 +447,9 @@ def run_crawl_stream(
         OUTPUT_TABLES, _FrontierState, _ShardState, _ingest_candidates, append_output,
     )
     from frontier_engine.fetch import fetch_batch
-    from frontier_engine.metrics import round_metrics
+    from frontier_engine.metrics import (
+        combine_metrics, fetch_side_metrics, ingest_side_metrics,
+    )
     from frontier_engine.robots import rules_from_pages
     from frontier_engine.schedule import rank_batch
     from frontier_engine.seen_store import SeenExactStore
@@ -446,6 +459,7 @@ def run_crawl_stream(
     cands_dir = os.path.join(snapshot_dir, "cand_stream")
     ckpt = os.path.join(snapshot_dir, "ckpt")
     out_dir = os.path.join(snapshot_dir, "outputs")
+    mstash_dir = os.path.join(snapshot_dir, "metrics_stash")
     os.makedirs(cands_dir, exist_ok=True)
     store = SnapshotStore(snapshot_dir)
     seen_store = SeenExactStore(
@@ -532,17 +546,64 @@ def run_crawl_stream(
             )
             sstate = _ShardState(spark, entry["tables"]["seen_shards"]["path"], [])
         else:
-            entry = store.commit(
-                _next_snap(), {"frontier_delta": new_rows, "seen_shards": shards_dirty},
-                meta=imeta, finalize=False,
+            # Same amortized-fold discipline as run_crawl (ADVICE r3: the
+            # streaming face previously never compacted — unbounded
+            # manifest chains on a long crawl). Shards: fold the delta
+            # chain at COMPACT_CHAIN, the not-yet-written dirty frame
+            # riding along as the newest version. Frontier: fold log +
+            # deltas into a fresh base past the ratio.
+            scompact = sstate.should_compact()
+            shard_commit = (
+                S.resolve_shards(spark, sstate.base_path, sstate.delta_paths,
+                                 extra_df=shards_dirty)
+                if scompact
+                else shards_dirty
             )
-            fstate.delta_paths.append(entry["tables"]["frontier_delta"]["path"])
-            fstate.base_rows += int(entry["tables"]["frontier_delta"]["rows"])
-            sstate.delta_paths.append(entry["tables"]["seen_shards"]["path"])
+            fcompact = fstate.should_compact(cfg.frontier_compact_ratio)
+            if fcompact:
+                # view() applies the status log, so the folded base
+                # carries every fetched/missing status and the chains
+                # reset — identical to the batch driver's fold (minus
+                # this round's not-yet-known statuses, which commit at
+                # the round boundary below)
+                base = fstate.view().unionByName(new_rows)
+                tables = {"frontier_base": base, "seen_shards": shard_commit}
+            else:
+                tables = {"frontier_delta": new_rows, "seen_shards": shard_commit}
+            entry = store.commit(_next_snap(), tables, meta=imeta, finalize=False)
+            if fcompact:
+                binfo = entry["tables"]["frontier_base"]
+                fstate = _FrontierState(spark, [binfo["path"]], [], [],
+                                        base_rows=binfo["rows"], status_rows=0)
+            else:
+                fstate.delta_paths.append(entry["tables"]["frontier_delta"]["path"])
+                fstate.base_rows += int(entry["tables"]["frontier_delta"]["rows"])
+            if scompact:
+                sstate = _ShardState(spark, entry["tables"]["seen_shards"]["path"], [])
+            else:
+                sstate.delta_paths.append(entry["tables"]["seen_shards"]["path"])
         entry["meta"]["frontier"] = fstate.to_meta()
         entry["meta"]["shards"] = sstate.to_meta()
         entry["meta"]["seen_exact"] = seen_store.to_meta()
         store.publish(entry)
+
+        # Complete the PREVIOUS round's metrics row: its fetch-side half
+        # was stashed when that round ran; its ingest-side half is THIS
+        # ingest (these candidates are that round's discoveries). This
+        # keeps the metrics table batch-identical instead of one round
+        # shifted, and gives the final round's discoveries a metrics row
+        # on the done path (ADVICE r3). Runs before cache_handle
+        # unpersists — blocked_new/new_rows still read the cached ingest.
+        stash_path = os.path.join(mstash_dir, f"round-{rnd}")
+        if rnd > 0 and os.path.exists(stash_path):
+            append_output(
+                out_dir, "metrics",
+                combine_metrics(
+                    rnd, spark.read.parquet(stash_path),
+                    ingest_side_metrics(blocked_new, new_rows),
+                ).drop("round"),
+                rnd,
+            )
         cache_handle.unpersist()
         st["sstate"], st["fstate"] = sstate, fstate
         st["shards"] = sstate.view()
@@ -571,6 +632,10 @@ def run_crawl_stream(
             dentry["meta"]["seen_exact"] = seen_store.to_meta()
             store.publish(dentry)
             st["last_batch"] = batch_id
+            # final round's metrics row (written at this ingest) is durable
+            shutil.rmtree(
+                os.path.join(mstash_dir, f"round-{st['round']}"), ignore_errors=True
+            )
             return
         st["round"] = rnd
         append_output(out_dir, "batches", batch.select("host", "url", "rank"), rnd)
@@ -603,10 +668,12 @@ def run_crawl_stream(
         )
         for name, df in parts.items():
             append_output(out_dir, name, df, rnd)
-        append_output(
-            out_dir, "metrics",
-            round_metrics(rnd, batch, fetched, missing, blocked_new, new_rows).drop("round"),
-            rnd,
+        # Stash this round's fetch-side metrics half; the row completes at
+        # the NEXT micro-batch's ingest, when this round's discoveries are
+        # actually ingested (run_crawl parity — see combine_metrics above).
+        # Overwrite mode ⇒ a replayed round regenerates an identical stash.
+        fetch_side_metrics(batch, fetched, missing).write.mode("overwrite").parquet(
+            os.path.join(mstash_dir, f"round-{rnd}")
         )
         # feedback edge: next round's candidates (may be EMPTY — still a
         # file, so the stream keeps triggering while pending URLs remain).
@@ -616,19 +683,43 @@ def run_crawl_stream(
         # with its feedback file never written — a stalled crawl.
         _drop_cand_file(candidates, f"round-{rnd}")
 
+        # Round-boundary commit; the status log is the growth edge here,
+        # so the frontier fold also triggers at this commit point when the
+        # log outgrows the base (same predicate as the batch driver).
+        fcompact = fstate.should_compact(cfg.frontier_compact_ratio)
+        if fcompact:
+            base = (
+                fstate.view()
+                .join(status_updates, "url_hash", "left")
+                .withColumn("status", F.coalesce("new_status", "status"))
+                .drop("new_status")
+            )
+            stables = {"frontier_base": base}
+        else:
+            stables = {"status_log": status_updates}
         sentry = store.commit(
-            _next_snap(), {"status_log": status_updates},
+            _next_snap(), stables,
             meta={"round": rnd, "seq_offset": st["seq"], "phase": "round_done",
                   "last_batch_id": batch_id},
             finalize=False,
         )
-        fstate.status_paths.append(sentry["tables"]["status_log"]["path"])
-        fstate.status_rows += int(sentry["tables"]["status_log"]["rows"])
+        if fcompact:
+            binfo = sentry["tables"]["frontier_base"]
+            fstate = _FrontierState(spark, [binfo["path"]], [], [],
+                                    base_rows=binfo["rows"], status_rows=0)
+            st["fstate"] = fstate
+        else:
+            fstate.status_paths.append(sentry["tables"]["status_log"]["path"])
+            fstate.status_rows += int(sentry["tables"]["status_log"]["rows"])
         sentry["meta"]["frontier"] = fstate.to_meta()
         sentry["meta"]["shards"] = sstate.to_meta()
         sentry["meta"]["seen_exact"] = seen_store.to_meta()
         store.publish(sentry)
         st["last_batch"] = batch_id
+        # the previous round's stash was consumed at this batch's ingest
+        # and its durable metrics row is published — safe to drop now
+        # (kept until here so an ingest-phase replay could re-read it)
+        shutil.rmtree(os.path.join(mstash_dir, f"round-{rnd - 1}"), ignore_errors=True)
         batch.unpersist()
         fetched.unpersist()
 

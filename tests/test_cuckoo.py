@@ -56,6 +56,27 @@ def test_colliding_keys_survive_delete_of_one():
     assert not C.contains(blob, b, NB).any()  # both copies now gone
 
 
+def test_delete_shards_dedupes_expired_batch(spark):
+    """ADVICE r3: a url_hash duplicated within one expire batch must
+    remove at most ONE slot copy. A key holding two copies (inserted by
+    two update calls — the multiset discipline) keeps its second copy
+    when the expire frame lists it twice; without the dedup both copies
+    would vanish and a colliding live key could lose membership."""
+    from pyspark.sql import functions as F
+
+    from frontier_engine.seen import SHARD_SCHEMA
+
+    n_shards, nb = 4, 1 << 10
+    key = spark.range(1).select(F.xxhash64(F.lit("dup-key")).alias("url_hash"))
+    empty = spark.createDataFrame([], SHARD_SCHEMA)
+    shards = C.update_cuckoo_shards(key, empty, n_shards, nb)
+    shards = C.update_cuckoo_shards(key, shards, n_shards, nb)  # 2nd copy
+    expired_dup = key.unionByName(key)  # same hash twice in one batch
+    shards = C.delete_cuckoo_shards(expired_dup, shards, n_shards, nb)
+    still = C.cuckoo_positive_hashes_broadcast(key, shards, n_shards, nb)
+    assert still.count() == 1  # one copy survived the duplicated expire
+
+
 def test_non_power_of_two_buckets_rejected():
     with pytest.raises(ValueError, match="power of two"):
         C.empty_filter(1000)

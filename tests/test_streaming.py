@@ -262,10 +262,75 @@ def test_streaming_crawl_equals_batch_crawl(spark, tmp_path_factory):
     b_pdp = sorted(r.listing_id for r in batch_res.outputs["pdp_rows"].collect())
     s_pdp = sorted(r.listing_id for r in stream_res["outputs"]["pdp_rows"].collect())
     assert s_pdp == b_pdp
+    # metrics must be batch-IDENTICAL, not shifted one round (ADVICE r3):
+    # every (round, host) row, every counter — including the final
+    # round's new_candidates/robots_blocked, which the streaming face
+    # only learns at the done path's ingest
+    def metric_rows(df):
+        return sorted(
+            (r["round"], r.host, r.scheduled, r.fetched, r.missing,
+             r.robots_blocked, r.bytes_fetched, r.new_candidates)
+            for r in df.collect()
+        )
+
+    assert metric_rows(stream_res["outputs"]["metrics"]) == metric_rows(
+        batch_res.outputs["metrics"]
+    )
     assert (
         {r.canon_url for r in stream_res["seen_exact"].collect()}
         == {r.canon_url for r in batch_res.seen_exact.collect()}
     )
+
+
+def test_streaming_crawl_compacts_state_chains(spark, tmp_path_factory, monkeypatch):
+    """ADVICE r3: the streaming face must fold its shard/frontier chains
+    like the batch driver — aggressive compaction settings both keep the
+    manifest chains bounded AND leave the crawl's results unchanged."""
+    from frontier_engine import crawler as C
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.crawler import run_crawl
+    from frontier_engine.fixtures import WorldSpec, generate_world
+    from frontier_engine.parse import CrawlArgs
+    from frontier_engine.snapshots import SnapshotStore
+    from frontier_engine.streaming import run_crawl_stream
+
+    monkeypatch.setattr(C._ShardState, "COMPACT_CHAIN", 2)
+    spec = WorldSpec(n_hosts=2, listings_total=12, max_reviews=40)
+    world = generate_world(spec)
+    args = CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
+    cfg = EngineConfig(
+        n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2,
+        frontier_compact_ratio=0.01,
+    )
+    pages = spark.createDataFrame(world["pages"])
+    seeds = spark.createDataFrame(world["seeds"][["url"]])
+
+    batch_res = run_crawl(
+        spark, pages, cfg, args, seeds=seeds, max_rounds=40,
+        snapshot_dir=str(tmp_path_factory.mktemp("snap-batch-compact")),
+    )
+    sdir = str(tmp_path_factory.mktemp("snap-stream-compact"))
+    stream_res = run_crawl_stream(
+        spark, pages, cfg, args, seeds, snapshot_dir=sdir, max_rounds=40,
+    )
+    assert stream_res["rounds"] == batch_res.rounds > 2
+
+    def batches(df):
+        return sorted((r["round"], r.host, r.url, r["rank"]) for r in df.collect())
+
+    assert batches(stream_res["outputs"]["batches"]) == batches(batch_res.outputs["batches"])
+    assert (
+        {r.canon_url for r in stream_res["seen_exact"].collect()}
+        == {r.canon_url for r in batch_res.seen_exact.collect()}
+    )
+    # chains in the final manifest are bounded by the fold triggers, not
+    # O(rounds): shard deltas ≤ COMPACT_CHAIN, frontier folded at ratio
+    store = SnapshotStore(sdir)
+    meta = store.manifest(store.latest_id())["meta"]
+    assert len(meta["shards"].get("delta_paths", [])) <= 2
+    assert len(meta["frontier"]["delta_paths"]) + len(
+        meta["frontier"]["status_paths"]
+    ) < stream_res["rounds"]
 
 
 def test_streaming_crawl_resume_equals_straight_through(spark, tmp_path_factory):
@@ -302,6 +367,18 @@ def test_streaming_crawl_resume_equals_straight_through(spark, tmp_path_factory)
 
     assert resumed["rounds"] == full["rounds"]
     assert batches(resumed["outputs"]["batches"]) == batches(full["outputs"]["batches"])
+    # the capped run leaves round-3's metrics row stashed; the resume's
+    # first ingest completes it — resumed metrics equal the full run's
+    def metric_rows(df):
+        return sorted(
+            (r["round"], r.host, r.scheduled, r.fetched, r.missing,
+             r.robots_blocked, r.bytes_fetched, r.new_candidates)
+            for r in df.collect()
+        )
+
+    assert metric_rows(resumed["outputs"]["metrics"]) == metric_rows(
+        full["outputs"]["metrics"]
+    )
     assert (
         {r.canon_url for r in resumed["seen_exact"].collect()}
         == {r.canon_url for r in full["seen_exact"].collect()}
