@@ -32,6 +32,14 @@ _FIXTURE_PAGES = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "parse_world", "pages.parquet"
 )
 
+# committed perceptual-hash fixture (scripts_make_phash_fixture.py): real
+# PNG payloads + a golden dHash column computed from the SOURCE pixel
+# arrays with an independent loop implementation — the oracle surface for
+# the image near-dup family (r4)
+_FIXTURE_PHASH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_phash.parquet"
+)
+
 
 def _fixture_pages(spark: SparkSession) -> DataFrame:
     from frontier_engine.canon import host_expr
@@ -423,6 +431,51 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_metrics(spark, sf_dir):
+    """CONSOLIDATED correctness row covering FOUR text-analysis operators
+    (lang_id + quality_score + token_counts + doc_fingerprint), joined on
+    doc_id into one frame. Consolidation exists because the driver's
+    correctness sweep records at most 50 query rows (r3 checked exactly
+    the first 50 of 53 dict entries; the full sweep takes <2 min at
+    sf0.01, so it was a count cap, not time) — every operator keeps its
+    own oracle-checked columns, just sharing a row."""
+    from frontier_engine.textops import (
+        doc_fingerprint_md5, lang_id, quality_score, token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(d)
+        .join(quality_score(d), "doc_id")
+        .join(token_counts(d), "doc_id")
+        .join(doc_fingerprint_md5(d), "doc_id")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """CONSOLIDATED correctness row covering the THREE single-query ANN
+    variants (brute-force baseline, multi-probe LSH, IVF-Flat), tagged by
+    a `method` column. LSH and IVF both retrieve over the planted
+    near-neighbor universe and must equal the exact brute force the
+    oracle computes — the union makes each method's equality a separate
+    set of hash-checked rows (see q_text_metrics for why consolidated)."""
+    brute = q_ann_brute_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
+    lsh = q_lsh_ann(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return brute.unionByName(lsh).unionByName(ivf)
+
+
+def q_sessionize(spark, sf_dir):
+    """CONSOLIDATED correctness row covering gap-sessionization on BOTH
+    faces — the batch lag+cumsum twin and the applyInPandasWithState
+    streaming operator — tagged by `mode`. Both must equal the same SQL
+    oracle, so the union also pins batch/stream parity in the driver's
+    hash check (see q_text_metrics for why consolidated)."""
+    b = q_events_sessionize(spark, sf_dir).withColumn("mode", F.lit("batch"))
+    s = q_stream_sessionize(spark, sf_dir).withColumn("mode", F.lit("stream"))
+    return b.unionByName(s)
+
+
 def q_ann_brute_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector (exact ANN
     baseline). Double arithmetic, rounded to 6."""
@@ -714,6 +767,48 @@ def q_semantic_dedup(spark, sf_dir):
     )
     return semantic_dedup(
         e.unionByName(planted), threshold=0.95, quantizer="signbits", n_clusters=8
+    )
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup via perceptual hash (multimodal.phash_near_pairs,
+    r4): REAL PNG payloads decode → grayscale → 9×8 dHash → the same
+    4×16-bit Hamming banding as text simhash — never all-pairs. The
+    committed fixture plants re-encoded copies (hamming 0), one-bit
+    edits (hamming 1) and half-size resamples; the oracle recomputes the
+    full ≤3-Hamming pair set from the fixture's golden_phash column
+    (computed from the SOURCE pixels by an independent implementation),
+    so a regression anywhere in decode/resize/hash/banding mismatches."""
+    from frontier_engine.multimodal import phash_near_pairs
+
+    media = spark.read.parquet(_FIXTURE_PHASH).select("media_id", "mime", "payload")
+    return phash_near_pairs(media, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_semantic_dedup_join(spark, sf_dir):
+    """Incremental semantic dedup (similarity.semantic_dedup_join, r4):
+    an incoming batch checked against the EXISTING corpus only — never
+    corpus×corpus. Batch = exact copies of vec_id<30 at +200000 (same
+    sign-bit cluster by construction, cos exactly 1.0 to their corpus
+    parent → MUST be dropped) plus reversed vectors of vec_id 100-149 at
+    +300000 (genuinely new content — a reversed random vector is
+    near-orthogonal to every corpus vector, so these survive; either
+    way the oracle recomputes the exact rule)."""
+    from frontier_engine.similarity import semantic_dedup_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    copies = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + F.lit(200000)).alias("vec_id"), "embedding"
+    )
+    fresh = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).select(
+        (F.col("vec_id") + F.lit(300000)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return semantic_dedup_join(
+        copies.unionByName(fresh), e, threshold=0.95, n_clusters=8,
+        quantizer="signbits",
     )
 
 
@@ -1124,14 +1219,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "adaptive_delay": q_adaptive_delay,
         "ttl_recrawl": q_ttl_recrawl,
-        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "duplicate_spans": q_duplicate_spans,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
-        "ann_brute_topk": q_ann_brute_topk,
+        # consolidated rows (r4): the driver's sweep caps at 50 query
+        # rows, so same-table operator families share one oracle-checked
+        # row each — text_metrics = lang_id + quality_score +
+        # token_counts + doc_fingerprint; ann_topk = ann_brute_topk +
+        # lsh_ann + ivf_ann; sessionize = events_sessionize (batch) +
+        # stream_sessionize (stateful streaming). Every constituent
+        # operator keeps its own columns/rows inside the merged frame.
+        "text_metrics": q_text_metrics,
+        "ann_topk": q_ann_topk,
+        "sessionize": q_sessionize,
         "price_sweep": q_price_sweep,
         "region_rollup": q_region_rollup,
         "events_moving_avg": q_events_moving_avg,
@@ -1148,21 +1248,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "room_type_filter": q_room_type_filter,
         "export_grid": q_export_grid,
         # ST2 stateful streaming twins (r2)
-        "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
-        "ivf_ann": q_ivf_ann,
         "ivf_topk_join": q_ivf_topk_join,
         # hash/LSH ops with planted-dup / SQL-twin oracles (r2)
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_join": q_minhash_dedup_join,
         "stratified_sample": q_stratified_sample,
         "simhash_pairs": q_simhash_pairs,
-        "doc_fingerprint": q_doc_fingerprint,
         "url_canonicalize": q_url_canonicalize,
         "seen_bloom": q_seen_bloom,
-        "lsh_ann": q_lsh_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_join": q_semantic_dedup_join,
+        "phash_near_dup": q_phash_near_dup,
         "centroid_topk": q_centroid_topk,
     }
 
@@ -1242,8 +1340,27 @@ _REPR = "lower('b''' || regexp_replace({col}, '[^\\x00-\\x7F]', '?', 'g') || '''
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_build()
-    out["stream_sessionize"] = out["events_sessionize"]
-    out["ivf_ann"] = out["lsh_ann"]  # both must equal exact brute force
+    # Consolidated rows (r4, see queries()): compose the merged oracles
+    # from the constituent operators' SQL so each keeps its exact twin.
+    out["text_metrics"] = f"""
+        WITH L AS ({out.pop("lang_id")}),
+             Q AS ({out.pop("quality_score")}),
+             T AS ({out.pop("token_counts")}),
+             FP AS ({out.pop("doc_fingerprint")})
+        SELECT * FROM L
+        JOIN Q USING (doc_id) JOIN T USING (doc_id) JOIN FP USING (doc_id)
+    """
+    lsh = out.pop("lsh_ann")  # LSH and IVF must both equal brute force
+    out["ann_topk"] = f"""
+        SELECT 'brute' AS method, * FROM ({out.pop("ann_brute_topk")})
+        UNION ALL SELECT 'lsh' AS method, * FROM ({lsh})
+        UNION ALL SELECT 'ivf' AS method, * FROM ({lsh})
+    """
+    sess = out.pop("events_sessionize")  # stream face must equal batch
+    out["sessionize"] = f"""
+        SELECT 'batch' AS mode, * FROM ({sess})
+        UNION ALL SELECT 'stream' AS mode, * FROM ({sess})
+    """
     return out
 
 
@@ -2032,6 +2149,46 @@ def _oracle_sql_build() -> dict[str, str]:
             SELECT s.vec_id, s.cluster,
                    (d.vec_id IS NULL) AS kept
             FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+        """,
+        "phash_near_dup": f"""
+            WITH g AS (
+              SELECT media_id, golden_phash FROM read_parquet('{_FIXTURE_PHASH}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.golden_phash, b.golden_phash)) AS BIGINT) AS hamming
+            FROM g a JOIN g b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.golden_phash, b.golden_phash)) <= 3
+        """,
+        "semantic_dedup_join": """
+            WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            batch AS (
+              SELECT vec_id + 200000 AS vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 30
+              UNION ALL
+              SELECT vec_id + 300000 AS vec_id, list_reverse(embedding::DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= 100 AND vec_id < 150
+            ),
+            ca AS (
+              SELECT vec_id, v,
+                     CAST((v[1] >= 0) AS INT) + 2 * CAST((v[2] >= 0) AS INT)
+                       + 4 * CAST((v[3] >= 0) AS INT) AS cluster
+              FROM corpus
+            ),
+            ba AS (
+              SELECT vec_id, v,
+                     CAST((v[1] >= 0) AS INT) + 2 * CAST((v[2] >= 0) AS INT)
+                       + 4 * CAST((v[3] >= 0) AS INT) AS cluster
+              FROM batch
+            ),
+            dups AS (
+              SELECT DISTINCT a.vec_id
+              FROM ba a JOIN ca b ON a.cluster = b.cluster
+              WHERE ROUND(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                    >= 0.95
+            )
+            SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+            FROM ba s LEFT JOIN dups d ON s.vec_id = d.vec_id
         """,
         "centroid_topk": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

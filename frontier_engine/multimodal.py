@@ -221,3 +221,72 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return imgs.select("media_id", "mime", "payload").mapInPandas(run, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual hash (dHash) — image near-dup as a first-class dedup citizen
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _decode_gray(payload: bytes, mime: str) -> np.ndarray:
+    """Full-resolution grayscale plane for dHash. PNG: real decode
+    (frontier_engine.png). Other mimes: the same deterministic 8×8 fake
+    grid _decode_impl uses (no stdlib codec — PIL drop-in point)."""
+    from frontier_engine import png as P
+
+    if mime == "image/png" and payload[:8] == P.SIGNATURE:
+        arr, _meta = P.decode_png(payload)
+        return _to_gray(arr)
+    h = blake2b(payload, digest_size=64).digest()
+    return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public algorithm): nearest-resample
+    the grayscale plane to 9×8, set bit (y*8 + x) iff g[y,x] < g[y,x+1].
+    Robust to re-encoding (pixel-identical ⇒ identical hash) and small
+    edits (each changed comparison flips one bit). Returns a SIGNED
+    64-bit value so it lands in a Spark LongType column."""
+    from frontier_engine import png as P
+
+    g = P.resize_nearest(gray, 9, 8)
+    bits = np.uint64(0)
+    for y in range(8):
+        for x in range(8):
+            if g[y, x] < g[y, x + 1]:
+                bits |= np.uint64(1) << np.uint64(y * 8 + x)
+    return int(bits.astype(np.int64))
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit dHash, Arrow-batched (media_id, phash). Like
+    extract_features, the UDF stage sees ONLY (media_id, mime, payload) —
+    metadata and other columns never cross the Arrow boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                gray = _decode_gray(bytes(payload), mime)
+                out.append({"media_id": mid, "phash": dhash64(gray)})
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return media.select("media_id", "mime", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs: dHash + the SAME 4×16-bit-chunk
+    Hamming banding the text simhash path uses (textops.hash64_band_pairs
+    — exact recall for max_hamming ≤ 3, never an all-pairs join). Catches
+    re-encoded copies (pixel-identical ⇒ hamming 0) and small edits /
+    resamples (few flipped comparisons). Returns (id_a, id_b, hamming)."""
+    from frontier_engine.textops import hash64_band_pairs
+
+    return hash64_band_pairs(phash_media(media), "phash", "media_id", max_hamming)

@@ -428,3 +428,83 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def assign_semantic_clusters(
+    embeddings: DataFrame, n_clusters: int = 8,
+    centroids: list[list[float]] | None = None, quantizer: str = "signbits",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Stateless cluster assignment shared by :func:`semantic_dedup` and
+    :func:`semantic_dedup_join` — returns (id, v double[], nrm, cluster).
+    For ``"kmeans"`` the caller supplies the codebook (the corpus's
+    EXISTING centroids in the incremental path); ``"signbits"`` needs no
+    codebook at all, so batch and corpus agree by construction. On a real
+    deployment this frame is the corpus's precomputed partition layout —
+    a table written once, not recomputed per ingest."""
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if quantizer == "signbits":
+        n_bits = max(1, (n_clusters - 1).bit_length())
+        cluster = sum(
+            (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (2 ** i)
+            for i in range(n_bits)
+        )
+    else:
+        if centroids is None:
+            raise ValueError("kmeans assignment needs the corpus's centroids")
+        cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        cluster = _argmax_cos(cent_col, F.col("v"), len(centroids))
+    return base.withColumn("cluster", cluster).withColumn("nrm", norm(F.col("v")))
+
+
+def semantic_dedup_join(
+    batch: DataFrame, corpus: DataFrame, threshold: float = 0.95,
+    n_clusters: int = 8, centroids: list[list[float]] | None = None,
+    quantizer: str = "signbits", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL semantic dedup (round-4): the embedding twin of
+    :func:`textops.minhash_dedup_join` — an incoming batch is assigned to
+    the corpus's EXISTING clusters (same quantizer/codebook the corpus
+    was laid out with), and a batch row is dropped iff some corpus row in
+    its cluster has cos ≥ *threshold*. The corpus is NEVER self-joined:
+    per-ingest cost is O(batch + batch×(colliding cluster slices)),
+    independent of corpus size — the shape a continuously-growing 100 TB
+    embedding store actually runs at ingest (one-shot corpus sweeps are
+    :func:`semantic_dedup`).
+
+    Scale shape: batch assignment is a stateless map (no shuffle); the
+    corpus side is a precomputable assigned/normed table (recomputed here
+    for self-containment — pass the corpus through
+    :func:`assign_semantic_clusters` once and persist it in deployment,
+    exactly like minhash_dedup_join's corpus_bands); the only shuffle
+    keys on cluster id, fan-out bounded by the batch's share of each
+    cluster. Batch-internal duplicates are deliberately NOT dropped here
+    (they arrive together and are the one-shot op's job on the batch
+    alone); ids must be disjoint across the two tables (caller contract).
+
+    Returns (id, cluster int, kept boolean) for every batch row.
+    """
+    cassigned = assign_semantic_clusters(
+        corpus, n_clusters, centroids, quantizer, id_col, vec_col
+    )
+    bassigned = assign_semantic_clusters(
+        batch, n_clusters, centroids, quantizer, id_col, vec_col
+    )
+    a = bassigned.alias("a")
+    b = cassigned.alias("b")
+    pair_cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dup_ids = (
+        a.join(b, "cluster")
+        .where(F.round(pair_cos, 6) >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        bassigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -95,3 +95,57 @@ def test_resize_produces_valid_png_of_requested_size(media):
         assert (meta["width"], meta["height"]) == (12, 10)
         want = P.resize_nearest(_gradient_image(mid), 12, 10)
         assert (arr == want).all()
+
+
+def test_dhash_reencode_invariant_and_edit_sensitivity(spark):
+    """dHash is invariant to re-encoding (same pixels, different PNG
+    filter strategies → identical hash) and a 2× nearest upscale (the
+    9×8 downsample grid lands on the same source pixels), while a
+    genuinely different image lands far away in Hamming distance."""
+    import numpy as np
+
+    from frontier_engine import png as P
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    h_cycle = M.dhash64(M._decode_gray(P.encode_png(img, "cycle"), "image/png"))
+    h_none = M.dhash64(M._decode_gray(P.encode_png(img, "none"), "image/png"))
+    up = P.resize_nearest(img, 96, 64)
+    h_up = M.dhash64(M._decode_gray(P.encode_png(up, "cycle"), "image/png"))
+    h_other = M.dhash64(M._decode_gray(P.encode_png(other, "cycle"), "image/png"))
+    assert h_cycle == h_none == h_up
+    ham = bin((h_cycle ^ h_other) & ((1 << 64) - 1)).count("1")
+    assert ham > 10
+
+
+def test_phash_near_pairs_matches_committed_golden(spark):
+    """phash_near_pairs over the committed fixture must equal the
+    all-pairs ≤3-Hamming set computed from the golden_phash column (the
+    banding recall guarantee + decode/hash correctness in one check)."""
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "media_phash.parquet",
+    )
+    media = spark.read.parquet(fixture)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.phash_near_pairs(
+            media.select("media_id", "mime", "payload"), max_hamming=3
+        ).collect()
+    }
+    gold = {r.media_id: r.golden_phash for r in media.select("media_id", "golden_phash").collect()}
+    want = {}
+    for a in gold:
+        for b in gold:
+            if a < b:
+                h = bin((gold[a] ^ gold[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+    assert got == want
+    # the fixture plants structure: every re-encode pairs at hamming 0,
+    # every one-bit edit at hamming 1
+    assert all(got[(i, i + 100)] == 0 for i in range(10))
+    assert all(got[(i, i + 300)] == 1 for i in range(10))

@@ -117,3 +117,75 @@ def test_fetch_join_broadcasts_batch_never_shuffles_pages(spark, tmp_path):
     assert "Exchange hashpartitioning" not in pf, pf
     pm = _plan(missing)
     assert "LeftAnti" in pm and "BroadcastHashJoin" in pm, pm
+
+
+def test_ivf_topk_join_no_cartesian_shuffles_on_list_id_only(spark):
+    """r4 guard: batch-query ANN must equi-join on the probed list id —
+    no cartesian/nested-loop over queries×corpus, no SinglePartition
+    exchange; the per-query window partitions by query_id."""
+    import numpy as np
+    import pandas as pd
+
+    from frontier_engine.similarity import ivf_topk_join
+
+    rng = np.random.default_rng(11)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(400),
+             "embedding": [rng.normal(size=16).astype("float64").tolist() for _ in range(400)]}
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": range(20),
+             "embedding": [rng.normal(size=16).astype("float64").tolist() for _ in range(20)]}
+        )
+    )
+    out = ivf_topk_join(queries, corpus, k=5, n_lists=8, n_probe=2)
+    p = _plan(out)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_minhash_dedup_join_never_self_joins_corpus(spark, tmp_path):
+    """r4 guard: the incremental ingest dedup scans the corpus parquet
+    exactly twice — once for its band-bucket side, once for the exact
+    verify — never corpus×corpus (and with a precomputed corpus_bands
+    table, exactly once; see test_textops)."""
+    from frontier_engine.textops import minhash_dedup_join
+
+    path = str(tmp_path / "corpus")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("words of document number "), F.col("id"),
+                 F.lit(" padded with shared filler text tokens")).alias("text"),
+    ).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    batch = spark.range(5).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("words of document number "), F.col("id"),
+                 F.lit(" padded with shared filler text tokens")).alias("text"),
+    )
+    out = minhash_dedup_join(batch, corpus)
+    leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
+    scans = [str(leaves.apply(i)) for i in range(leaves.size())]
+    assert sum("parquet" in s for s in scans) == 2, scans
+    p = _plan(out)
+    assert "CartesianProduct" not in p, p
+
+
+def test_stratified_sample_has_no_single_partition_window(spark):
+    """r4 guard: the salted two-phase sampler must never funnel a group
+    into a SinglePartition exchange (the hot-group straggler shape)."""
+    from frontier_engine.textops import stratified_sample
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en").otherwise("fr").alias("lang"),
+        F.lit("text").alias("text"),
+    )
+    out = stratified_sample(docs, {"en": 100, "fr": 50}, salt_partitions=16)
+    p = _plan(out)
+    assert "SinglePartition" not in p, p
+    assert p.count("Window") == 2, p  # phase-1 salted + phase-2 exact

@@ -208,3 +208,64 @@ def test_semantic_dedup_skew_guard_bounds_pairs_and_keeps_dups(spark):
         s * (s - 1) // 2 for s in np.bincount(key.astype(int) % 100000)
     )
     assert guarded_pairs < unguarded_pairs / 4  # join fan-out bounded
+
+
+def test_semantic_dedup_join_incremental_numpy_twin(emb, spark):
+    """r4 incremental semantic dedup: batch vs corpus only — a batch copy
+    of a corpus vector is dropped, genuinely new vectors survive, and the
+    kept/dropped set matches a numpy recompute of the exact rule."""
+    df, vecs = emb
+    import pandas as pd
+
+    batch_vecs = {
+        1000: vecs[3].tolist(),                     # exact copy → dropped
+        1001: (-vecs[7]).tolist(),                  # anti-parallel → kept
+        1002: (vecs[11] * 0.5).tolist(),            # scaled copy, cos=1 → dropped
+    }
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(batch_vecs), "embedding": list(batch_vecs.values()),
+             "label": [0] * 3}
+        )
+    )
+    out = {r.vec_id: r.kept for r in S.semantic_dedup_join(
+        batch, df, threshold=0.95, n_clusters=8, quantizer="signbits"
+    ).collect()}
+    assert set(out) == set(batch_vecs)
+
+    # numpy twin: same sign-bit clusters, same rounded-cosine rule
+    def cluster(v):
+        return sum((1 << i) for i in range(3) if v[i] >= 0)
+
+    corp = vecs.astype("float64")
+    cclust = np.array([cluster(v) for v in corp])
+    for bid, bv in batch_vecs.items():
+        b = np.array(bv, dtype="float64")
+        mask = cclust == cluster(b)
+        cos = (corp[mask] @ b) / (
+            np.linalg.norm(corp[mask], axis=1) * np.linalg.norm(b)
+        )
+        want_kept = not (np.round(cos, 6) >= 0.95).any()
+        assert out[bid] == want_kept, bid
+    assert out[1000] is False and out[1002] is False and out[1001] is True
+
+
+def test_semantic_dedup_join_never_self_joins_corpus(emb, spark, tmp_path):
+    """The corpus must appear in the pair join exactly once (batch side
+    vs corpus side) — never corpus×corpus (the incremental-cost claim)."""
+    import pandas as pd
+
+    df, vecs = emb
+    corpus_path = str(tmp_path / "sem_corpus")
+    df.write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1000], "embedding": [vecs[0].tolist()], "label": [0]})
+    )
+    out = S.semantic_dedup_join(batch, corpus, quantizer="signbits")
+    leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
+    scans = [str(leaves.apply(i)) for i in range(leaves.size())]
+    # exactly ONE parquet scan: the corpus enters the dup join once; the
+    # returned frame is built from the BATCH assignment, and a
+    # corpus×corpus shape would scan the parquet twice
+    assert sum("parquet" in s for s in scans) == 1, scans

@@ -154,6 +154,63 @@ def test_minhash_dedup_join_incremental(spark):
     assert all(j == 1.0 for j in got.values())
 
 
+def test_minhash_dedup_join_precomputed_corpus_bands(spark, tmp_path):
+    """r4 (VERDICT ask #5): with a persisted corpus_bands table, N
+    ingests reuse the bands — the plan scans the corpus docs exactly ONCE
+    (the candidate-verify semi-join), never re-shingling/re-hashing the
+    corpus, and the output is identical to the self-contained variant."""
+    from frontier_engine.textops import corpus_band_table, minhash_dedup_join
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "a completely different document about spark shuffles and joins here"),
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),
+    ]
+    new_rows = [
+        (101, "the quick brown fox jumps over the lazy dog again and again today"),
+        (102, "totally novel text that matches nothing in the existing corpus at all"),
+    ]
+    corpus_path = str(tmp_path / "corpus_docs")
+    bands_path = str(tmp_path / "corpus_bands")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    # computed ONCE, persisted — the deployment shape
+    corpus_band_table(corpus).write.parquet(bands_path)
+    bands = spark.read.parquet(bands_path)
+
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = minhash_dedup_join(new, corpus, corpus_bands=bands)
+    # corpus docs scanned exactly once (exact verify), bands table once;
+    # a recomputed band side would scan the docs a second time. Count
+    # parquet scan nodes by source path (plan strings truncate, so walk
+    # the optimized logical plan's leaf relations).
+    leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
+    scans = [str(leaves.apply(i)) for i in range(leaves.size())]
+    parquet = [s for s in scans if "parquet" in s]
+    # exactly TWO parquet relations: the bands table (band/bucket schema)
+    # and ONE scan of the corpus docs (text schema — the exact verify).
+    # A recomputed band side would scan the docs parquet a second time.
+    assert len(parquet) == 2, scans
+    assert sum("band#" in s for s in parquet) == 1, scans
+    assert sum("text#" in s for s in parquet) == 1, scans
+
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    want = {
+        (r.id_a, r.id_b): r.jaccard for r in minhash_dedup_join(new, corpus).collect()
+    }
+    assert got == want == {(101, 1): 1.0, (101, 3): 1.0}
+    # second ingest against the SAME persisted bands — no rebuild
+    new2 = spark.createDataFrame(
+        [(201, "a completely different document about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_join(new2, corpus, corpus_bands=bands).collect()
+    }
+    assert got2 == {(201, 2)}
+
+
 def test_stratified_sample_quota_and_determinism(spark):
     """Round-3 data-mixing op: per-group quotas exact, groups without a
     quota dropped, result deterministic and salt-invariant."""
