@@ -257,19 +257,138 @@ def parse_pages_bench(spark, pages=None, n=None) -> dict:
     return {"pages": n, "sec": round(dt, 2), "pages_per_sec": round(n / dt, 1)}
 
 
+def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
+    """One full training-data ingest round, stage-split (VERDICT r3 ask
+    #6): the LLM-pipeline path benchmarked end-to-end the way schedule
+    rounds are, so regressions in it are visible round-over-round.
+
+    corpus_setup (amortized in deployment — the bands table is computed
+    once and persisted, see textops.corpus_band_table) is timed but NOT
+    part of the per-round total. The round itself:
+
+      fetch_join   crawl batch (1/3 of page URLs) ⋈ pages (inner+anti)
+      parse_text   html bytes → plaintext (the Arrow UDF) → batch docs
+      exact_dedup  first-seen-wins on xxhash64(text)
+      minhash_join batch bands ⋈ persisted corpus bands → near-dup drop
+      sample       lang_id + salted stratified quota sampling
+
+    Stages hand off via parquet on /dev/shm (same discipline as
+    schedule_round: each stage timed to full materialization)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from frontier_engine.fetch import fetch_batch
+    from frontier_engine.html_text import html_bytes_to_text_udf
+    from frontier_engine.textops import (
+        corpus_band_table, lang_id, minhash_dedup_join, stratified_sample,
+    )
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="ingest-round-", dir=shm)
+    out = {}
+
+    def stage(name, f):
+        t0 = time.time()
+        r = f()
+        out[name] = round(time.time() - t0, 2)
+        return r
+
+    # --- corpus side: computed ONCE, persisted (not in the round total)
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def setup():
+        corpus_band_table(corpus).write.mode("overwrite").parquet(
+            os.path.join(work, "corpus_bands")
+        )
+
+    stage("corpus_setup", setup)
+    bands = spark.read.parquet(os.path.join(work, "corpus_bands"))
+
+    # --- the ingest round
+    def fetch_join():
+        batch = pages.select("url", "host").where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+        fetched, missing = fetch_batch(batch.withColumn("rank", F.lit(1)), pages)
+        fetched.select("url", "html").write.mode("overwrite").parquet(
+            os.path.join(work, "fetched")
+        )
+        _noop(missing)
+
+    stage("fetch_join", fetch_join)
+
+    def parse_text():
+        fetched = spark.read.parquet(os.path.join(work, "fetched"))
+        fetched.select(
+            F.xxhash64("url").alias("doc_id"),
+            html_bytes_to_text_udf(F.col("html")).alias("text"),
+        ).write.mode("overwrite").parquet(os.path.join(work, "batch_docs"))
+
+    stage("parse_text", parse_text)
+
+    def exact_dedup():
+        docs = spark.read.parquet(os.path.join(work, "batch_docs"))
+        w_first = F.row_number().over(
+            Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+        )
+        docs.withColumn("_rn", w_first).where(F.col("_rn") == 1).drop("_rn").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, "uniq_docs"))
+
+    stage("exact_dedup", exact_dedup)
+
+    def minhash_join():
+        uniq = spark.read.parquet(os.path.join(work, "uniq_docs"))
+        matches = minhash_dedup_join(uniq, corpus, corpus_bands=bands).select(
+            F.col("id_a").alias("doc_id")
+        ).distinct()
+        # spread the output files: AQE coalesces the small anti-join to
+        # ONE partition, and a single-row-group parquet file makes every
+        # downstream per-doc stage single-core (the 100 TB shape writes
+        # many files per commit anyway)
+        uniq.join(matches, "doc_id", "left_anti").repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(os.path.join(work, "survivors"))
+
+    stage("minhash_join", minhash_join)
+
+    def sample():
+        surv = spark.read.parquet(os.path.join(work, "survivors"))
+        labeled = lang_id(surv).select("doc_id", "pred_lang")
+        quotas = {"en": 5000, "und": 5000, "es": 1000, "fr": 1000, "de": 1000}
+        # sampling selects IDs; consumers join text back by doc_id
+        _noop(stratified_sample(labeled, quotas, group_col="pred_lang"))
+
+    stage("sample", sample)
+
+    n_docs = spark.read.parquet(os.path.join(work, "batch_docs")).count()
+    round_stages = ["fetch_join", "parse_text", "exact_dedup", "minhash_join", "sample"]
+    out["t_round"] = round(sum(out[s] for s in round_stages), 2)
+    out["docs"] = n_docs
+    out["docs_per_sec"] = round(n_docs / out["t_round"], 1) if out["t_round"] else None
+    import shutil as _sh
+
+    _sh.rmtree(work, ignore_errors=True)
+    return out
+
+
 def operator_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as E
 
     headline = [
         "frontier_rank", "frontier_dedup", "robots_filter", "fetch_join_missing",
         "price_parse", "reviews_offsets", "pricing_summary", "cache_join",
-        "topk_per_group", "events_tumbling", "dedup_exact", "lang_id",
-        "quality_score", "token_counts", "minhash_dedup", "simhash_pairs",
-        "ann_brute_topk", "seen_bloom",
+        "topk_per_group", "events_tumbling", "dedup_exact",
+        "text_metrics",  # r4 consolidated: lang_id + quality + tokens + fingerprint
+        "minhash_dedup", "simhash_pairs",
+        "ann_topk",  # r4 consolidated: brute + lsh + ivf
+        "seen_bloom",
         # round-2 additions
-        "duplicate_spans", "semantic_dedup", "ttl_recrawl", "ivf_ann",
+        "duplicate_spans", "semantic_dedup", "ttl_recrawl",
         # round-3 additions
         "ivf_topk_join", "minhash_dedup_join", "stratified_sample", "export_grid",
+        # round-4 additions
+        "semantic_dedup_join", "phash_near_dup",
     ]
     qs = E.queries()
     out = {}
@@ -550,11 +669,17 @@ def _main_child() -> None:
     # when it runs before them — measured 6.5 s vs 22 s for the same
     # dedupe stage depending on order/window
     sched = schedule_round(spark, FRONTIER_N)
-    parse = parse_pages_bench(spark)
+    pages = _parse_world_pages(spark).cache()
+    n_pages = pages.count()
+    parse = parse_pages_bench(spark, pages, n_pages)
+    ingest = ingest_round_bench(spark, SF_DIR, pages)
     queries = operator_queries(spark, SF_DIR)
     queries["schedule_round_1m"] = sched["t_total"]
     queries["parse_pages"] = parse["sec"]
-    print("MAIN_RESULT " + json.dumps({"queries": queries, "sched": sched, "parse": parse}))
+    queries["ingest_round"] = ingest["t_round"]
+    print("MAIN_RESULT " + json.dumps(
+        {"queries": queries, "sched": sched, "parse": parse, "ingest": ingest}
+    ))
     spark.stop()
 
 
@@ -589,6 +714,7 @@ def main() -> None:
         sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
         raise RuntimeError("main-child produced no result")
     queries, sched, parse = res["queries"], res["sched"], res["parse"]
+    ingest = res.get("ingest")
 
     scaling = run_scaling(SCALING_N) if do_scaling else {}
     salt_ab = None
@@ -635,13 +761,56 @@ def main() -> None:
         "throughput": {
             "schedule_urls_per_sec": sched["urls_per_sec"],
             "parse_pages_per_sec": parse["pages_per_sec"],
+            "ingest_docs_per_sec": (ingest or {}).get("docs_per_sec"),
             "schedule_detail": sched,
             "parse_detail": parse,
+            "ingest_detail": ingest,
         },
         "scaling": scaling,
         "salt_ab": salt_ab,
     }
-    print(json.dumps(result))
+    # Full result: one line for logs + the whole thing on disk.
+    print("BENCH_DETAIL " + json.dumps(result))
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open(os.path.join("BENCH", "last_run.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    # The FINAL printed line is the driver contract — and the driver's
+    # bounded stdout-tail capture truncated r3's single huge line from
+    # the FRONT, losing the headline throughput (VERDICT r3 ask #7). So
+    # the last line is a SLIM twin: same metric/value/unit/queries/sf,
+    # headline throughputs and efficiencies, but per-rep arrays and
+    # stage details dropped (they live in BENCH_DETAIL + the file).
+    slim_scaling = {}
+    for job in ("schedule", "parse"):
+        j = scaling.get(job)
+        if not j:
+            continue
+        slim_scaling[job] = {
+            k: v for k, v in j.items() if not k.startswith("n")
+        }
+        for nk in ("n2", "n8", "n32"):
+            if nk in j:
+                slim_scaling[job][nk] = {
+                    "rate": j[nk]["rate"], "rate_clean": j[nk].get("rate_clean"),
+                    "cpu_ceiling": j[nk].get("cpu_ceiling"),
+                    "clean_reps": j[nk].get("clean_reps"),
+                }
+    slim = dict(result)
+    slim["throughput"] = {
+        "schedule_urls_per_sec": sched["urls_per_sec"],
+        "parse_pages_per_sec": parse["pages_per_sec"],
+        "ingest_docs_per_sec": (ingest or {}).get("docs_per_sec"),
+        "ingest_stages": {
+            k: v for k, v in (ingest or {}).items() if k != "docs"
+        },
+    }
+    slim["scaling"] = slim_scaling
+    if salt_ab:
+        slim["salt_ab"] = salt_ab
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

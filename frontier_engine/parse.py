@@ -576,9 +576,12 @@ def parse_search(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[Dat
     has_checkin = args.checkin is not None
     price_max = args.price_max
 
-    r = F.from_json(F.col("text"), SEARCH_SCHEMA)
-    explore = r["data"]["dora"]["exploreV3"]
-    base = df.select(
+    # two-step projection: one from_json evaluation (see parse_pdp)
+    parsed = df.select(
+        "url", "host", F.from_json(F.col("text"), SEARCH_SCHEMA).alias("_r")
+    )
+    explore = F.col("_r")["data"]["dora"]["exploreV3"]
+    base = parsed.select(
         F.col("url").alias("page_url"),
         F.col("host"),
         explore["metadata"]["paginationMetadata"].alias("pagination"),
@@ -688,9 +691,20 @@ def listing_score_expr(listing_id: Column) -> Column:
 
 def parse_pdp(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     """PDP page → pdp_rows + first-reviews candidate
-    (PdpPlatformSections.py:94-177)."""
-    r = F.from_json(F.col("text"), PDP_SCHEMA)
-    pdp = r["data"]["merlin"]["pdpSections"]
+    (PdpPlatformSections.py:94-177).
+
+    TWO-STEP projection (r4 perf): the JSON text is parsed ONCE into a
+    struct column, and the output projection extracts fields from the
+    struct. A single select referencing ``from_json(...)`` ~20 times
+    compiles to ~20 separate from_json evaluations (Catalyst prunes each
+    schema but still tokenizes the full JSON text per evaluation —
+    verified in the executed plan); the two-step shape leaves exactly
+    one. CollapseProject keeps it split because from_json is non-cheap
+    and multiply-referenced."""
+    parsed = df.select(
+        "url", "host", F.from_json(F.col("text"), PDP_SCHEMA).alias("_r")
+    )
+    pdp = F.col("_r")["data"]["merlin"]["pdpSections"]
     sections = pdp["sections"]
 
     amen = find_section(sections, "AMENITIES_DEFAULT")
@@ -719,7 +733,7 @@ def parse_pdp(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
         F.filter(host_profile["hostInfos"], lambda i: i["title"] == F.lit("During your stay")), F.lit(1)
     )["html"]["htmlText"]
 
-    rows = df.select(
+    rows = parsed.select(
         F.col("url").alias("page_url"),
         F.col("host"),
         pdp["id"].alias("listing_id"),
@@ -763,11 +777,17 @@ def parse_reviews(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFram
     (PdpReviews.py:13-42). Offsets ascend `range(limit, total, limit)`
     (PdpReviews.py:20-21) — generated in ONE round via sequence+explode
     (SURVEY §2.1 S4), replacing the reference's blocking loop."""
-    r = F.from_json(F.col("text"), REVIEWS_SCHEMA)
-    pr = r["data"]["merlin"]["pdpReviews"]
-    req = reviews_request_of(F.col("url"))
+    # two-step projection: one from_json evaluation for the page text AND
+    # one for the URL-param parse-back (see parse_pdp)
+    parsed = df.select(
+        "url", "host",
+        F.from_json(F.col("text"), REVIEWS_SCHEMA).alias("_r"),
+        reviews_request_of(F.col("url")).alias("_req"),
+    )
+    pr = F.col("_r")["data"]["merlin"]["pdpReviews"]
+    req = F.col("_req")
 
-    rows = df.select(
+    rows = parsed.select(
         F.col("url").alias("page_url"),
         F.col("host"),
         req["listingId"].alias("listing_id"),

@@ -53,19 +53,60 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (array<string>).
     Texts shorter than *n* words yield an empty array (guarded: Spark's
     sequence(a, b) counts DOWN when b < a, which would feed slice a
-    0 start and throw)."""
+    0 start and throw).
+
+    The word array is LAMBDA-BOUND (wrapped in a 1-element array and
+    re-entered via transform) so split+normalize evaluate ONCE per row:
+    a free expression referenced inside a higher-order-function lambda is
+    re-evaluated per element — O(words²) per document, measured 28 s vs
+    <2 s on an 11k-doc batch (r4)."""
+
+    def grams_of(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+        empty = F.array().cast("array<string>")
+        return F.array_distinct(F.when(k > 0, grams).otherwise(empty))
+
     words = F.split(normalized_text(col), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(k > 0, grams).otherwise(empty))
+    return F.get(F.transform(F.array(words), grams_of), 0)
 
 
 def char_set(col: Column) -> Column:
     return F.array_distinct(F.split(normalized_text(col), ""))
+
+
+def shingle_hash_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh_h) — one row per DISTINCT word-n-gram hash, WITHOUT ever
+    materializing the n-gram strings (r4 perf): each word is hashed once
+    (its own projection, so the word-hash array is computed one time —
+    inlining it into the per-shingle lambda would re-evaluate the whole
+    transform per element access, an O(words²) blowup), then a shingle's
+    hash is xxhash64 over its n consecutive word hashes — constant cost
+    per shingle instead of an O(shingle-bytes) string build + hash.
+    Signature/banding consumers only ever hash the shingle anyway (the
+    exact-Jaccard verify still uses :func:`word_shingles` strings)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    step1 = docs.select(
+        F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("_wh")
+    )
+    wh = F.col("_wh")
+    k = F.size(wh) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+        lambda i: F.xxhash64(*[F.get(wh, i + j) for j in range(n)]),
+    )
+    empty = F.array().cast("array<bigint>")
+    return step1.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.when(k > 0, grams).otherwise(empty))
+        ).alias("sh_h"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -77,13 +118,18 @@ def minhash_signatures(
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) — min over shingles of K keyed
-    xxhash64 functions. Explode+groupBy keeps it one shuffle; the K hashes
-    are computed inside codegen per shingle row."""
-    shingled = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    hash functions. Explode+groupBy keeps it one shuffle.
+
+    Shingle strings are never materialized (r4 perf — see
+    :func:`shingle_hash_rows`: the old shape built every n-gram string
+    and re-hashed it K times with a seed suffix; for 10 KB documents
+    that string work dominated the whole ingest round). The K min-hash
+    functions are xxhash64 over the (8-byte shingle hash, seed) pair — a
+    constant-cost integer mix with the same min-stability properties
+    (xxhash64 is the family generator either way)."""
+    shingled = shingle_hash_rows(docs, text_col, id_col, shingle_n)
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#seed{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("sh_h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = shingled.groupBy(id_col).agg(*mins)
@@ -389,12 +435,24 @@ def lang_scores(text_col: Column) -> dict[str, Column]:
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language ID: argmax over per-language marker counts,
     'und' when no marker hits. Deterministic tie-break: higher count wins,
-    then lexicographic language code (greatest(struct) semantics)."""
-    scores = lang_scores(F.col(text_col))
+    then lexicographic language code (greatest(struct) semantics).
+
+    Two-step projection (r4 perf): the padded normalized text is
+    materialized once, then the 20 marker counts reference the column —
+    the single-select shape re-ran the normalization regex per marker
+    reference (~40× per row)."""
+    padded = docs.select(
+        F.col(id_col),
+        F.concat(F.lit(" "), normalized_text(F.col(text_col)), F.lit(" ")).alias("_padded"),
+    )
+    scores = {
+        lang: sum((_count_occurrences(F.col("_padded"), m) for m in markers), F.lit(0.0)).cast("double")
+        for lang, markers in LANG_MARKERS.items()
+    }
     best = F.greatest(
         *[F.struct(c.alias("score"), F.lit(lang).alias("lang")) for lang, c in sorted(scores.items(), reverse=True)]
     )
-    return docs.select(
+    return padded.select(
         F.col(id_col),
         *[c.alias(f"score_{lang}") for lang, c in sorted(scores.items())],
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
@@ -403,9 +461,12 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """C4/Gopher-style quality features + composite score, all expression
-    arithmetic (SQL-mirrorable)."""
-    t = F.col(text_col)
-    norm = normalized_text(t)
+    arithmetic (SQL-mirrorable). Two-step projection like lang_id: the
+    normalization regex runs once per row, not once per feature."""
+    docs = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_qnorm")
+    )
+    norm = F.col("_qnorm")
     n_chars = F.length(norm)
     words = F.split(norm, " ")
     n_words = F.size(words)
@@ -441,11 +502,16 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def _fingerprint_blocks(text_col: Column) -> Column:
-    norm = normalized_text(text_col)
-    n_blocks = F.greatest(F.ceil(F.length(norm) / 64).cast("int"), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm, i * 64 + 1, 64)
-    )
+    # lambda-bind the normalized text (see word_shingles): a free
+    # expression in the lambda body would re-run the normalization regex
+    # per block — O(len²/64) per document
+    def blocks_of(norm: Column) -> Column:
+        n_blocks = F.greatest(F.ceil(F.length(norm) / 64).cast("int"), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm, i * 64 + 1, 64)
+        )
+
+    return F.get(F.transform(F.array(normalized_text(text_col)), blocks_of), 0)
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
