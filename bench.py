@@ -436,6 +436,21 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int = 5) -> Non
     # 200k-row batches are ~1.6 MB — fewer per-batch Python round-trips.
     # Parse jobs carry whole html payloads per row: keep the default.
     extra = {"spark.sql.execution.arrow.maxRecordsPerBatch": "200000"} if job == "schedule" else None
+    if job == "parse":
+        # Amortize fixed per-job cost: one parse rep is EIGHT driver
+        # actions (rows+cands × 4 types), each with ~constant
+        # submission/scheduling overhead that does not shrink with
+        # cores. After the r4 from_json fix tripled per-page speed, that
+        # constant became a visible share of an 8-core rep (measured
+        # per-job speedups 3.1-3.8×, whole-rep only ~2.5× in short
+        # reps). Doubling the corpus for the scaling children keeps
+        # per-rep compute dominant, so the pair measures the ENGINE's
+        # scaling, not Spark's job-submission constant.
+        os.environ.setdefault("BENCH_PARSE_REPLICATE", "16")
+        # the doubled cached corpus needs headroom beyond 8g (GCLocker
+        # alloc failures observed); 12g stays inside the 8-16g band that
+        # benches well on this box (larger heaps measurably regress)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "12g"
     spark = get_spark(app_name=f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(n_cores * 2, 16), extra_conf=extra)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
