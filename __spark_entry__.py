@@ -40,6 +40,14 @@ _FIXTURE_PHASH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_phash.parquet"
 )
 
+# committed audio-fingerprint fixture (scripts_make_audio_fixture.py):
+# real RIFF/PCM16 WAV payloads + a golden fingerprint column computed
+# from the PAYLOAD BYTES by an independent struct-reader + DFT-matrix
+# reference — the oracle surface for the audio near-dup family (r4)
+_FIXTURE_AUDIO = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_audio.parquet"
+)
+
 
 def _fixture_pages(spark: SparkSession) -> DataFrame:
     from frontier_engine.canon import host_expr
@@ -787,6 +795,26 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-dup via perceptual fingerprint (r4): REAL WAV payloads
+    decode (frontier_engine.wav, RIFF/PCM) → 8-band × 9-frame
+    log-spectrogram → band-energy-delta dHash (Haitsma & Kalker 2002
+    shape, gain-invariant) → the SAME 4×16-bit Hamming banding as text
+    simhash and image dHash — never all-pairs. The committed fixture
+    plants byte-different re-encodes (hamming 0), gain-halved copies
+    (≤2) and different signals (far); the oracle recomputes the full
+    ≤3-Hamming pair set from the fixture's golden_fp column (computed
+    from the payload bytes by an independent struct-reader + DFT-matrix
+    implementation), so a regression anywhere in decode / spectrogram /
+    hash / banding mismatches."""
+    from frontier_engine.multimodal import phash_near_pairs
+
+    media = spark.read.parquet(_FIXTURE_AUDIO).select("media_id", "mime", "payload")
+    return phash_near_pairs(media, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_semantic_dedup_join(spark, sf_dir):
     """Incremental semantic dedup (similarity.semantic_dedup_join, r4):
     an incoming batch checked against the EXISTING corpus only — never
@@ -1261,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_join": q_semantic_dedup_join,
         "phash_near_dup": q_phash_near_dup,
+        "audio_near_dup": q_audio_near_dup,
         "centroid_topk": q_centroid_topk,
     }
 
@@ -2158,6 +2187,15 @@ def _oracle_sql_build() -> dict[str, str]:
                    CAST(bit_count(xor(a.golden_phash, b.golden_phash)) AS BIGINT) AS hamming
             FROM g a JOIN g b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.golden_phash, b.golden_phash)) <= 3
+        """,
+        "audio_near_dup": f"""
+            WITH g AS (
+              SELECT media_id, golden_fp FROM read_parquet('{_FIXTURE_AUDIO}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.golden_fp, b.golden_fp)) AS BIGINT) AS hamming
+            FROM g a JOIN g b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.golden_fp, b.golden_fp)) <= 3
         """,
         "semantic_dedup_join": """
             WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -3,13 +3,15 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 / resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested. The codec layer (round-3): PNG payloads run
-a REAL byte-level decode/resize/re-encode via the pure-stdlib codec in
-``frontier_engine.png`` (zlib inflate + scanline filter reversal) — no
-image library needed. JPEG/audio/video still use the clearly-marked
-deterministic fake (no stdlib codec exists for those; PIL/ffmpeg
-drop-in points are annotated). Swap ``_decode_impl`` for a full codec
-on a cluster and nothing else changes.
+shapes) is real and tested. The codec layer: PNG payloads run a REAL
+byte-level decode/resize/re-encode via the pure-stdlib codec in
+``frontier_engine.png`` (zlib inflate + scanline filter reversal), and
+WAV payloads a REAL RIFF/PCM decode + log-spectrogram via
+``frontier_engine.wav`` (round-4) — no image/audio library needed.
+JPEG and video still use the clearly-marked deterministic fake (no
+stdlib codec exists for those; PIL/pyav drop-in points are annotated).
+Swap ``_decode_impl`` for a full codec on a cluster and nothing else
+changes.
 
 Design for 100 TB of media:
 * payloads never leave the JVM except inside the one mapInPandas stage
@@ -82,14 +84,21 @@ def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
 
     PNG: REAL decode (frontier_engine.png — zlib inflate + filter
     reversal on the actual payload bytes), grayscale, nearest-resampled
-    to 8×8. Other mimes: deterministic fake (no stdlib codec exists;
-    replace with PIL.Image.open / soundfile / pyav here, and ONLY here).
+    to 8×8. WAV: REAL decode (frontier_engine.wav — RIFF/PCM) → 8×8
+    log-energy spectrogram (8 time frames × 8 frequency bands), the
+    audio analog of the image grid. Other mimes: deterministic fake (no
+    stdlib codec exists; replace with PIL.Image.open / pyav here, and
+    ONLY here).
     """
     from frontier_engine import png as P
+    from frontier_engine import wav as W
 
     if mime == "image/png" and payload[:8] == P.SIGNATURE:
         arr, _meta = P.decode_png(payload)
         return P.resize_nearest(_to_gray(arr), 8, 8).astype(np.float32)
+    if mime.startswith("audio/") and W.is_wav(payload):
+        samples, _meta = W.decode_wav(payload)
+        return W.spectrogram_grid(samples, n_time=8, n_bands=8)
     h = blake2b(payload, digest_size=64).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
 
@@ -103,21 +112,42 @@ def _gradient_image(i: int, w: int = 24, h: int = 16) -> np.ndarray:
     ).astype(np.uint8)
 
 
+SYNTH_SAMPLE_RATE = 4000
+
+
+def _tone_signal(i: int, duration_s: float, rate: int = SYNTH_SAMPLE_RATE) -> np.ndarray:
+    """Deterministic audio test signal: two sines (frequencies keyed off
+    ``i``, below Nyquist) + seeded noise floor — band energies differ
+    clearly, so spectrogram fingerprints are stable under re-encode."""
+    t = np.arange(int(round(duration_s * rate)), dtype=np.float64) / rate
+    f1 = 150.0 + (i * 37) % 800
+    f2 = 300.0 + (i * 53) % 1100
+    noise = np.random.default_rng(1000 + i).normal(0.0, 0.05, len(t))
+    return 0.4 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t) + noise
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (test/bench input). The
     ``image/png`` rows carry REAL PNG payloads (encoded with cycling
-    scanline filters), so the decode/resize stages exercise genuine
-    image bytes end-to-end; other mimes stay opaque fakes."""
+    scanline filters) and the ``audio/wav`` rows REAL RIFF/PCM16
+    payloads (synthesized tone+noise signals), so the decode stages
+    exercise genuine bytes end-to-end; JPEG/video stay opaque fakes."""
     from frontier_engine import png as P
+    from frontier_engine import wav as W
 
     rows = []
     for i in range(n):
-        mime = ["image/jpeg", "image/png", "audio/ogg", "video/mp4"][i % 4]
+        mime = ["image/jpeg", "image/png", "audio/wav", "video/mp4"][i % 4]
         if mime == "image/png":
             img = _gradient_image(i)
             payload = P.encode_png(img, filter_strategy="cycle")
             meta = {"width": img.shape[1], "height": img.shape[0],
                     "duration_s": None, "codec": "png"}
+        elif mime == "audio/wav":
+            dur = float(1 + i % 30)
+            payload = W.encode_wav(_tone_signal(i, dur), SYNTH_SAMPLE_RATE)
+            meta = {"width": None, "height": None, "duration_s": dur,
+                    "codec": "pcm_s16le"}
         else:
             payload = blake2b(f"media-{i}".encode(), digest_size=32).digest() * (4 + i % 7)
             dur = None if mime.startswith("image") else float(1 + i % 30)
@@ -160,24 +190,46 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
 
     Frame count derives from metadata (duration/every_s) WITHOUT touching
     payload bytes — the explode is pure JVM; only the per-frame decode
-    stage (stub) reads bytes.
+    stage reads bytes. WAV rows (round-4): REAL extraction — the frame
+    is the ``[idx·every_s, (idx+1)·every_s)`` PCM window re-encoded as a
+    standalone WAV (decoded once per media row per Arrow batch via a
+    local cache, since the explode duplicates the payload). Video rows
+    keep the deterministic fake (pyav seek+decode drop-in point).
     """
+    from frontier_engine import wav as W
+
     timed = media.where(F.col("meta")["duration_s"].isNotNull()).withColumn(
         "n_frames",
         F.greatest(F.lit(1), F.floor(F.col("meta")["duration_s"] / F.lit(every_s))).cast("int"),
     )
     exploded = timed.select(
         "media_id",
+        "mime",
         "payload",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoded: dict[int, tuple] = {}
         for pdf in batches:
             out = []
-            for mid, payload, idx in zip(pdf["media_id"], pdf["payload"], pdf["frame_idx"]):
-                # ← real frame extraction (pyav seek+decode) goes here
-                frame = blake2b(bytes(payload) + int(idx).to_bytes(4, "big"), digest_size=48).digest()
+            for mid, mime, payload, idx in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"], pdf["frame_idx"]
+            ):
+                raw = bytes(payload)
+                if str(mime).startswith("audio/") and W.is_wav(raw):
+                    if mid not in decoded:
+                        decoded[mid] = W.decode_wav(raw)
+                    samples, meta = decoded[mid]
+                    win = W.slice_window(
+                        samples, meta["sample_rate"], int(idx) * every_s, every_s
+                    )
+                    frame = W.encode_wav(win, meta["sample_rate"])
+                else:
+                    # ← real frame extraction (pyav seek+decode) goes here
+                    frame = blake2b(
+                        raw + int(idx).to_bytes(4, "big"), digest_size=48
+                    ).digest()
                 out.append({"media_id": mid, "frame_idx": int(idx), "frame": frame})
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
@@ -224,7 +276,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
 
 
 # --------------------------------------------------------------------------
-# perceptual hash (dHash) — image near-dup as a first-class dedup citizen
+# perceptual hash (dHash) — image AND audio near-dup as first-class dedup
+# citizens: one 64-bit hash column + one banded pair join, two real codecs
 # --------------------------------------------------------------------------
 
 PHASH_SCHEMA = T.StructType(
@@ -236,14 +289,23 @@ PHASH_SCHEMA = T.StructType(
 
 
 def _decode_gray(payload: bytes, mime: str) -> np.ndarray:
-    """Full-resolution grayscale plane for dHash. PNG: real decode
-    (frontier_engine.png). Other mimes: the same deterministic 8×8 fake
-    grid _decode_impl uses (no stdlib codec — PIL drop-in point)."""
+    """Full-resolution "grayscale plane" for dHash. PNG: real decode
+    (frontier_engine.png). WAV: real decode → log-spectrogram grid,
+    TRANSPOSED to (8 bands × 9 time frames) so dHash's 9×8 resample is
+    the identity and bit (band, t) compares band energy at adjacent
+    time frames — the classic band-energy-delta audio fingerprint
+    (Haitsma & Kalker 2002 shape), gain-invariant because the grid is
+    log-energy. Other mimes: the deterministic 8×8 fake grid
+    _decode_impl uses (no stdlib codec — PIL/pyav drop-in point)."""
     from frontier_engine import png as P
+    from frontier_engine import wav as W
 
     if mime == "image/png" and payload[:8] == P.SIGNATURE:
         arr, _meta = P.decode_png(payload)
         return _to_gray(arr)
+    if mime.startswith("audio/") and W.is_wav(payload):
+        samples, _meta = W.decode_wav(payload)
+        return W.spectrogram_grid(samples, n_time=9, n_bands=8).T
     h = blake2b(payload, digest_size=64).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
 
@@ -266,9 +328,12 @@ def dhash64(gray: np.ndarray) -> int:
 
 
 def phash_media(media: DataFrame) -> DataFrame:
-    """Per-image 64-bit dHash, Arrow-batched (media_id, phash). Like
-    extract_features, the UDF stage sees ONLY (media_id, mime, payload) —
-    metadata and other columns never cross the Arrow boundary."""
+    """Per-media 64-bit perceptual hash, Arrow-batched (media_id, phash):
+    images get pixel dHash, WAV audio the band-energy-delta fingerprint
+    (see _decode_gray) — both land in the same LongType column so ONE
+    banded join dedups a mixed media table. Like extract_features, the
+    UDF stage sees ONLY (media_id, mime, payload) — metadata and other
+    columns never cross the Arrow boundary."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -24,10 +24,9 @@ def test_feature_extraction_shape_and_determinism(media):
 
 def test_frame_sampling_counts(media):
     frames = M.sample_frames(media, every_s=5.0).collect()
+    rows = {r.media_id: r for r in media.collect()}
     durations = {
-        r.media_id: r.meta.duration_s
-        for r in media.collect()
-        if r.meta.duration_s is not None
+        mid: r.meta.duration_s for mid, r in rows.items() if r.meta.duration_s is not None
     }
     per = {}
     for r in frames:
@@ -36,7 +35,59 @@ def test_frame_sampling_counts(media):
     for mid, idxs in per.items():
         want = max(1, int(durations[mid] // 5.0))
         assert idxs == set(range(want))
-    assert all(len(r.frame) == 48 for r in frames)
+    # video rows: deterministic 48-byte fake; wav rows: real WAV windows
+    assert all(
+        len(r.frame) == 48 for r in frames if rows[r.media_id].mime == "video/mp4"
+    )
+    assert all(
+        bytes(r.frame)[:4] == b"RIFF"
+        for r in frames
+        if rows[r.media_id].mime == "audio/wav"
+    )
+
+
+def test_wav_frames_are_exact_pcm_windows(media):
+    """Round-4: audio frames must be the REAL [idx·5s, (idx+1)·5s) PCM
+    window of the source signal, re-encoded — verified by driver-side
+    decode of both the source payload and each frame payload."""
+    from frontier_engine import wav as W
+
+    frames = M.sample_frames(media, every_s=5.0).collect()
+    src = {r.media_id: r for r in media.collect() if r.mime == "audio/wav"}
+    checked = 0
+    for r in frames:
+        if r.media_id not in src:
+            continue
+        full, meta = W.decode_wav(bytes(src[r.media_id].payload))
+        want = W.slice_window(full, meta["sample_rate"], r.frame_idx * 5.0, 5.0)
+        got, gmeta = W.decode_wav(bytes(r.frame))
+        assert gmeta["sample_rate"] == meta["sample_rate"]
+        assert (got == want).all()
+        checked += 1
+    assert checked > 0
+
+
+def test_wav_rows_use_real_codec_features(media):
+    """Round-4 twin of the PNG feature test: audio/wav rows' features
+    must come from the REAL decoded PCM (decode → 8×8 log-spectrogram →
+    pooled), matching a driver-side recomputation from the known
+    synthesis formula."""
+    import numpy as np
+
+    from frontier_engine import wav as W
+    from frontier_engine.multimodal import SYNTH_SAMPLE_RATE, _tone_signal
+
+    feats = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    wav_ids = [r.media_id for r in media.collect() if r.mime == "audio/wav"]
+    assert wav_ids
+    for mid in wav_ids:
+        dur = float(1 + mid % 30)
+        # driver-side: quantize like the encoder, decode like the decoder
+        q = W._quantize(_tone_signal(mid, dur), 16).astype(np.float32) / 32768.0
+        grid = W.spectrogram_grid(q, n_time=8, n_bands=8)
+        pooled = grid.mean(axis=0)
+        want = np.concatenate([pooled, grid.std(axis=1)])[:16].astype(np.float32)
+        assert np.allclose(feats[mid], want), mid
 
 
 def test_resize_images_only(media):
@@ -149,3 +200,37 @@ def test_phash_near_pairs_matches_committed_golden(spark):
     # every one-bit edit at hamming 1
     assert all(got[(i, i + 100)] == 0 for i in range(10))
     assert all(got[(i, i + 300)] == 1 for i in range(10))
+
+
+def test_audio_near_pairs_matches_committed_golden(spark):
+    """Round-4 twin of the phash fixture test over REAL WAV payloads:
+    phash_near_pairs (decode → log-spectrogram → band-energy-delta
+    dHash → banding) must equal the all-pairs ≤3-Hamming set computed
+    from the golden_fp column (independent struct-reader + DFT-matrix
+    reference, scripts_make_audio_fixture.py)."""
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "media_audio.parquet",
+    )
+    media = spark.read.parquet(fixture)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.phash_near_pairs(
+            media.select("media_id", "mime", "payload"), max_hamming=3
+        ).collect()
+    }
+    gold = {r.media_id: r.golden_fp for r in media.select("media_id", "golden_fp").collect()}
+    want = {}
+    for a in gold:
+        for b in gold:
+            if a < b:
+                h = bin((gold[a] ^ gold[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+    assert got == want
+    # planted structure: byte-different re-encodes at hamming 0,
+    # gain-halved copies within quantization tolerance
+    assert all(got[(i, i + 100)] == 0 for i in range(10))
+    assert all(got.get((i, i + 200), 99) <= 2 for i in range(10))
