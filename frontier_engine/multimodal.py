@@ -5,13 +5,14 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. The codec layer: PNG payloads run a REAL
 byte-level decode/resize/re-encode via the pure-stdlib codec in
-``frontier_engine.png`` (zlib inflate + scanline filter reversal), and
-WAV payloads a REAL RIFF/PCM decode + log-spectrogram via
-``frontier_engine.wav`` (round-4) — no image/audio library needed.
-JPEG and video still use the clearly-marked deterministic fake (no
-stdlib codec exists for those; PIL/pyav drop-in points are annotated).
-Swap ``_decode_impl`` for a full codec on a cluster and nothing else
-changes.
+``frontier_engine.png`` (zlib inflate + scanline filter reversal), WAV
+payloads a REAL RIFF/PCM decode + log-spectrogram via
+``frontier_engine.wav``, and JPEG payloads a REAL baseline-JPEG decode
+(Huffman + dequant + IDCT) via ``frontier_engine.jpeg`` (round-4) — no
+image/audio library needed. Only video still uses the clearly-marked
+deterministic fake (no stdlib codec exists; the pyav drop-in point is
+annotated). Swap ``_decode_impl`` for a full codec on a cluster and
+nothing else changes.
 
 Design for 100 TB of media:
 * payloads never leave the JVM except inside the one mapInPandas stage
@@ -84,17 +85,22 @@ def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
 
     PNG: REAL decode (frontier_engine.png — zlib inflate + filter
     reversal on the actual payload bytes), grayscale, nearest-resampled
-    to 8×8. WAV: REAL decode (frontier_engine.wav — RIFF/PCM) → 8×8
-    log-energy spectrogram (8 time frames × 8 frequency bands), the
-    audio analog of the image grid. Other mimes: deterministic fake (no
-    stdlib codec exists; replace with PIL.Image.open / pyav here, and
-    ONLY here).
+    to 8×8. JPEG: REAL baseline decode (frontier_engine.jpeg — Huffman
+    + dequant + IDCT), same grayscale grid. WAV: REAL decode
+    (frontier_engine.wav — RIFF/PCM) → 8×8 log-energy spectrogram
+    (8 time frames × 8 frequency bands), the audio analog of the image
+    grid. Video: deterministic fake (no stdlib codec exists; replace
+    with pyav here, and ONLY here).
     """
+    from frontier_engine import jpeg as J
     from frontier_engine import png as P
     from frontier_engine import wav as W
 
     if mime == "image/png" and payload[:8] == P.SIGNATURE:
         arr, _meta = P.decode_png(payload)
+        return P.resize_nearest(_to_gray(arr), 8, 8).astype(np.float32)
+    if mime == "image/jpeg" and payload[:2] == J.SOI:
+        arr, _meta = J.decode_jpeg(payload)
         return P.resize_nearest(_to_gray(arr), 8, 8).astype(np.float32)
     if mime.startswith("audio/") and W.is_wav(payload):
         samples, _meta = W.decode_wav(payload)
@@ -129,9 +135,12 @@ def _tone_signal(i: int, duration_s: float, rate: int = SYNTH_SAMPLE_RATE) -> np
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (test/bench input). The
     ``image/png`` rows carry REAL PNG payloads (encoded with cycling
-    scanline filters) and the ``audio/wav`` rows REAL RIFF/PCM16
-    payloads (synthesized tone+noise signals), so the decode stages
-    exercise genuine bytes end-to-end; JPEG/video stay opaque fakes."""
+    scanline filters), the ``image/jpeg`` rows REAL baseline-JPEG
+    payloads (optimized Huffman, 4:2:0 on odd rows), and the
+    ``audio/wav`` rows REAL RIFF/PCM16 payloads (synthesized tone+noise
+    signals), so the decode stages exercise genuine bytes end-to-end;
+    only video stays an opaque fake."""
+    from frontier_engine import jpeg as J
     from frontier_engine import png as P
     from frontier_engine import wav as W
 
@@ -143,6 +152,11 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = P.encode_png(img, filter_strategy="cycle")
             meta = {"width": img.shape[1], "height": img.shape[0],
                     "duration_s": None, "codec": "png"}
+        elif mime == "image/jpeg":
+            img = _gradient_image(i)
+            payload = J.encode_jpeg(img, quality=90, subsample=bool(i % 8))
+            meta = {"width": img.shape[1], "height": img.shape[0],
+                    "duration_s": None, "codec": "jpeg"}
         elif mime == "audio/wav":
             dur = float(1 + i % 30)
             payload = W.encode_wav(_tone_signal(i, dur), SYNTH_SAMPLE_RATE)
@@ -239,10 +253,11 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize stage: image rows → resized payload + updated meta.
 
-    PNG rows run the REAL pipeline — decode (filter reversal) →
-    nearest-neighbor resample → re-encode — on the actual bytes; the
-    output payload is itself a valid PNG of the requested dimensions.
-    Other image mimes keep the deterministic fake (PIL drop-in point)."""
+    PNG and JPEG rows run the REAL pipeline — decode → nearest-neighbor
+    resample → re-encode — on the actual bytes; the output payload is
+    itself a valid PNG/JPEG of the requested dimensions. Unrecognized
+    image mimes keep the deterministic fake (PIL drop-in point)."""
+    from frontier_engine import jpeg as J
     from frontier_engine import png as P
 
     imgs = media.where(F.col("mime").startswith("image/"))
@@ -256,6 +271,11 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     arr, _meta = P.decode_png(raw)
                     resized = P.encode_png(
                         P.resize_nearest(arr, width, height), filter_strategy="none"
+                    )
+                elif mime == "image/jpeg" and raw[:2] == J.SOI:
+                    arr, _meta = J.decode_jpeg(raw)
+                    resized = J.encode_jpeg(
+                        P.resize_nearest(arr, width, height), quality=90
                     )
                 else:
                     # ← real resize (PIL thumbnail + re-encode) goes here
@@ -295,13 +315,20 @@ def _decode_gray(payload: bytes, mime: str) -> np.ndarray:
     the identity and bit (band, t) compares band energy at adjacent
     time frames — the classic band-energy-delta audio fingerprint
     (Haitsma & Kalker 2002 shape), gain-invariant because the grid is
-    log-energy. Other mimes: the deterministic 8×8 fake grid
-    _decode_impl uses (no stdlib codec — PIL/pyav drop-in point)."""
+    log-energy. JPEG: real baseline decode → grayscale plane (dHash's
+    coarse 9×8 grid absorbs compression noise, so same-image
+    re-encodes land at small Hamming distance). Video: the
+    deterministic 8×8 fake grid _decode_impl uses (no stdlib codec —
+    pyav drop-in point)."""
+    from frontier_engine import jpeg as J
     from frontier_engine import png as P
     from frontier_engine import wav as W
 
     if mime == "image/png" and payload[:8] == P.SIGNATURE:
         arr, _meta = P.decode_png(payload)
+        return _to_gray(arr)
+    if mime == "image/jpeg" and payload[:2] == J.SOI:
+        arr, _meta = J.decode_jpeg(payload)
         return _to_gray(arr)
     if mime.startswith("audio/") and W.is_wav(payload):
         samples, _meta = W.decode_wav(payload)

@@ -148,6 +148,78 @@ def test_resize_produces_valid_png_of_requested_size(media):
         assert (arr == want).all()
 
 
+def test_jpeg_rows_use_real_codec_features(media):
+    """Round-4: image/jpeg rows' features must come from the REAL
+    baseline-JPEG decoded pixels — matching a driver-side recomputation
+    that decodes the same payload with frontier_engine.jpeg directly."""
+    import numpy as np
+
+    from frontier_engine import jpeg as J
+    from frontier_engine import png as P
+    from frontier_engine.multimodal import _to_gray
+
+    feats = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    jrows = [r for r in media.collect() if r.mime == "image/jpeg"]
+    assert jrows
+    for r in jrows:
+        arr, _meta = J.decode_jpeg(bytes(r.payload))
+        grid = P.resize_nearest(_to_gray(arr), 8, 8).astype(np.float32)
+        pooled = grid.mean(axis=0)
+        want = np.concatenate([pooled, grid.std(axis=1)])[:16].astype(np.float32)
+        assert np.allclose(feats[r.media_id], want), r.media_id
+        # and the decode is honest: pixels near the known source formula
+        src = M._gradient_image(r.media_id)
+        assert np.abs(arr.astype(int) - src.astype(int)).mean() < 12
+
+
+def test_resize_produces_valid_jpeg_of_requested_size(media):
+    """Round-4: resized JPEG payloads are themselves decodable baseline
+    JPEGs at the requested dimensions, close to nearest-neighbor of the
+    decoded source."""
+    import numpy as np
+
+    from frontier_engine import jpeg as J
+    from frontier_engine import png as P
+
+    out = {r.media_id: r for r in M.resize_images(media, 12, 10).collect()}
+    jrows = [r for r in media.collect() if r.mime == "image/jpeg"]
+    for r in jrows:
+        arr, meta = J.decode_jpeg(bytes(out[r.media_id].payload))
+        assert (meta["width"], meta["height"]) == (12, 10)
+        src, _ = J.decode_jpeg(bytes(r.payload))
+        want = P.resize_nearest(src, 12, 10)
+        assert np.abs(arr.astype(int) - want.astype(int)).mean() < 12
+
+
+def test_jpeg_reencode_lands_near_in_hamming(spark):
+    """dHash over real JPEG decode: a quality-75 4:2:0 re-encode of the
+    same image lands within 3 Hamming bits (the near-dup family's
+    banding recall bound), while a different image lands far. Uses
+    smooth random images (sum of random 2-D cosines): gradients are
+    dHash-degenerate (constant offsets) and pixel noise is not
+    JPEG-stable, but smooth fields are both distinct and robust."""
+    import numpy as np
+
+    from frontier_engine import jpeg as J
+
+    def smooth(seed, h=32, w=48):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        plane = sum(
+            rng.uniform(40, 90) * np.cos(2 * np.pi * (fx * x / w + fy * y / h) + rng.uniform(0, 6))
+            for fx, fy in [(1, 0), (0, 1), (1, 1), (2, 1)]
+        )
+        img = 128 + plane - plane.mean()
+        return np.clip(np.stack([img] * 3, axis=2), 0, 255).astype(np.uint8)
+
+    a, b = smooth(1), smooth(2)
+    h90 = M.dhash64(M._decode_gray(J.encode_jpeg(a, quality=90), "image/jpeg"))
+    h75 = M.dhash64(M._decode_gray(J.encode_jpeg(a, quality=75, subsample=True), "image/jpeg"))
+    hb = M.dhash64(M._decode_gray(J.encode_jpeg(b, quality=90), "image/jpeg"))
+    assert bin((h90 ^ h75) & ((1 << 64) - 1)).count("1") <= 3
+    assert bin((h90 ^ hb) & ((1 << 64) - 1)).count("1") > 10
+
+
 def test_dhash_reencode_invariant_and_edit_sensitivity(spark):
     """dHash is invariant to re-encoding (same pixels, different PNG
     filter strategies → identical hash) and a 2× nearest upscale (the
