@@ -7,12 +7,15 @@ shapes) is real and tested. The codec layer: PNG payloads run a REAL
 byte-level decode/resize/re-encode via the pure-stdlib codec in
 ``frontier_engine.png`` (zlib inflate + scanline filter reversal), WAV
 payloads a REAL RIFF/PCM decode + log-spectrogram via
-``frontier_engine.wav``, and JPEG payloads a REAL baseline-JPEG decode
-(Huffman + dequant + IDCT) via ``frontier_engine.jpeg`` (round-4) — no
-image/audio library needed. Only video still uses the clearly-marked
-deterministic fake (no stdlib codec exists; the pyav drop-in point is
-annotated). Swap ``_decode_impl`` for a full codec on a cluster and
-nothing else changes.
+``frontier_engine.wav``, JPEG payloads a REAL baseline-JPEG decode
+(Huffman + dequant + IDCT) via ``frontier_engine.jpeg``, and MP4
+payloads a REAL ISO-BMFF container parse (box walk + stts/stsz/stsc/
+stco sample-table resolution) via ``frontier_engine.mp4`` — all
+round-4, no image/audio library needed. The only remaining fake is the
+pixel decode INSIDE a video sample (H.264 is out of stdlib scope; the
+pyav drop-in point is annotated) — the byte ranges, timing and seek
+math handed to it are real. Swap ``_decode_impl`` for a full codec on
+a cluster and nothing else changes.
 
 Design for 100 TB of media:
 * payloads never leave the JVM except inside the one mapInPandas stage
@@ -162,11 +165,20 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = W.encode_wav(_tone_signal(i, dur), SYNTH_SAMPLE_RATE)
             meta = {"width": None, "height": None, "duration_s": dur,
                     "codec": "pcm_s16le"}
-        else:
-            payload = blake2b(f"media-{i}".encode(), digest_size=32).digest() * (4 + i % 7)
-            dur = None if mime.startswith("image") else float(1 + i % 30)
-            meta = {"width": 640, "height": 480, "duration_s": dur,
-                    "codec": mime.split("/")[1]}
+        else:  # video/mp4: REAL ISO-BMFF container, opaque codec samples
+            from frontier_engine import mp4 as V
+
+            dur = 1 + i % 30
+            samples = [
+                blake2b(f"media-{i}-s{k}".encode(), digest_size=24).digest() * (2 + k % 3)
+                for k in range(dur)
+            ]
+            payload = V.encode_mp4(
+                samples, timescale=1000, sample_deltas=1000,
+                width=640, height=480, samples_per_chunk=4,
+            )
+            meta = {"width": 640, "height": 480, "duration_s": float(dur),
+                    "codec": "mp4"}
         rows.append({"media_id": i, "mime": mime, "payload": payload, "meta": meta})
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -207,9 +219,15 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
     stage reads bytes. WAV rows (round-4): REAL extraction — the frame
     is the ``[idx·every_s, (idx+1)·every_s)`` PCM window re-encoded as a
     standalone WAV (decoded once per media row per Arrow batch via a
-    local cache, since the explode duplicates the payload). Video rows
-    keep the deterministic fake (pyav seek+decode drop-in point).
+    local cache, since the explode duplicates the payload). MP4 rows
+    (round-4): REAL container-level extraction — the frame is the exact
+    mdat byte range of the sample whose start time ≤ idx·every_s,
+    resolved through the parsed stts/stsz/stsc/stco tables (the seek
+    math a demuxer does); only the codec payload inside the sample
+    stays opaque (pyav decode drop-in point). Other mimes keep the
+    deterministic fake.
     """
+    from frontier_engine import mp4 as V
     from frontier_engine import wav as W
 
     timed = media.where(F.col("meta")["duration_s"].isNotNull()).withColumn(
@@ -239,6 +257,13 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
                         samples, meta["sample_rate"], int(idx) * every_s, every_s
                     )
                     frame = W.encode_wav(win, meta["sample_rate"])
+                elif mime == "video/mp4" and V.is_mp4(raw):
+                    if mid not in decoded:
+                        decoded[mid] = V.parse_mp4(raw)["samples"]
+                    table = decoded[mid]
+                    si = V.sample_at_time(table, int(idx) * every_s)
+                    # ← real pixel decode of the sample (pyav) goes here
+                    frame = V.extract_sample(raw, table, si)
                 else:
                     # ← real frame extraction (pyav seek+decode) goes here
                     frame = blake2b(
@@ -293,6 +318,75 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return imgs.select("media_id", "mime", "payload").mapInPandas(run, MEDIA_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("format_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Metadata ingest from REAL bytes (round-4): the stage that
+    populates the typed meta columns once at ingest, so every
+    downstream filter/join prunes the binary column. All four mimes
+    probe actual container structure — PNG IHDR, JPEG SOF (header-only,
+    no entropy decode), WAV fmt/data, MP4 moov/sample tables;
+    unrecognized payloads come back format_ok=false rather than
+    erroring (crawled media is dirty by nature)."""
+    import struct as _struct
+
+    from frontier_engine import jpeg as J
+    from frontier_engine import mp4 as V
+    from frontier_engine import png as P
+    from frontier_engine import wav as W
+
+    def probe_one(mime: str, raw: bytes) -> dict:
+        if mime == "image/png" and raw[:8] == P.SIGNATURE:
+            w, h = _struct.unpack(">II", raw[16:24])  # IHDR is always first
+            return {"format_ok": True, "width": w, "height": h,
+                    "duration_s": None, "codec": "png", "n_samples": None}
+        if mime == "image/jpeg" and raw[:2] == J.SOI:
+            m = J.probe_jpeg(raw)
+            return {"format_ok": True, "width": m["width"], "height": m["height"],
+                    "duration_s": None,
+                    "codec": "jpeg-progressive" if m["progressive"] else "jpeg",
+                    "n_samples": None}
+        if mime.startswith("audio/") and W.is_wav(raw):
+            _samples, m = W.decode_wav(raw)
+            return {"format_ok": True, "width": None, "height": None,
+                    "duration_s": m["duration_s"],
+                    "codec": f"pcm_{'f' if m['format'] == 'float' else 's'}{m['bits']}le",
+                    "n_samples": None}
+        if mime == "video/mp4" and V.is_mp4(raw):
+            m = V.parse_mp4(raw)
+            return {"format_ok": True, "width": m["width"], "height": m["height"],
+                    "duration_s": m["duration_s"], "codec": "mp4",
+                    "n_samples": m["n_samples"]}
+        return {"format_ok": False, "width": None, "height": None,
+                "duration_s": None, "codec": None, "n_samples": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                try:
+                    rec = probe_one(str(mime), bytes(payload))
+                except (ValueError, _struct.error, IndexError):
+                    rec = {"format_ok": False, "width": None, "height": None,
+                           "duration_s": None, "codec": None, "n_samples": None}
+                out.append({"media_id": mid, "mime": mime, **rec})
+            yield pd.DataFrame(out, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.select("media_id", "mime", "payload").mapInPandas(run, PROBE_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -35,15 +35,22 @@ def test_frame_sampling_counts(media):
     for mid, idxs in per.items():
         want = max(1, int(durations[mid] // 5.0))
         assert idxs == set(range(want))
-    # video rows: deterministic 48-byte fake; wav rows: real WAV windows
-    assert all(
-        len(r.frame) == 48 for r in frames if rows[r.media_id].mime == "video/mp4"
-    )
+    # wav rows: real WAV windows; mp4 rows: real container samples
     assert all(
         bytes(r.frame)[:4] == b"RIFF"
         for r in frames
         if rows[r.media_id].mime == "audio/wav"
     )
+    from frontier_engine import mp4 as V
+
+    for r in frames:
+        src = rows[r.media_id]
+        if src.mime != "video/mp4":
+            continue
+        raw = bytes(src.payload)
+        tbl = V.parse_mp4(raw)["samples"]
+        si = V.sample_at_time(tbl, r.frame_idx * 5.0)
+        assert bytes(r.frame) == V.extract_sample(raw, tbl, si)
 
 
 def test_wav_frames_are_exact_pcm_windows(media):
@@ -88,6 +95,32 @@ def test_wav_rows_use_real_codec_features(media):
         pooled = grid.mean(axis=0)
         want = np.concatenate([pooled, grid.std(axis=1)])[:16].astype(np.float32)
         assert np.allclose(feats[mid], want), mid
+
+
+def test_probe_media_matches_stored_meta(media):
+    """Round-4: probe_media re-derives the typed metadata from REAL
+    payload bytes for all four mimes (PNG IHDR, JPEG SOF, WAV fmt,
+    MP4 moov) — it must agree with the synthesized meta columns, and a
+    corrupt payload must come back format_ok=false, not an error."""
+    probed = {r.media_id: r for r in M.probe_media(media).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(probed) == len(src)
+    for mid, p in probed.items():
+        s = src[mid]
+        assert p.format_ok, (mid, s.mime)
+        assert p.width == s.meta.width and p.height == s.meta.height
+        if s.meta.duration_s is None:
+            assert p.duration_s is None
+        else:
+            assert abs(p.duration_s - s.meta.duration_s) < 1e-9
+        if s.mime == "video/mp4":
+            assert p.n_samples == int(s.meta.duration_s)
+    # dirty payload → format_ok False
+    garbage = media.limit(1).withColumn(
+        "payload", F.lit(b"\xff\xfe not a container")
+    )
+    bad = M.probe_media(garbage).collect()[0]
+    assert not bad.format_ok and bad.codec is None
 
 
 def test_resize_images_only(media):
