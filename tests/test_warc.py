@@ -1,0 +1,116 @@
+"""WARC source: record framing, gzip member chaining, HTTP payload
+parsing, and the Spark ingest face producing the exact pages shape the
+fixture world carries (same urls, same html bytes, same engine text)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from frontier_engine import warc as WC
+
+
+def mk_pages(n=5):
+    return [
+        {
+            "url": f"https://host{i % 2}.example/page/{i}",
+            "ts": datetime(2021, 3, 4, 5, 6, i, tzinfo=timezone.utc),
+            "html": f"<html><body><p>doc {i} &amp; more</p></body></html>".encode(),
+            "lang": ["en", "es"][i % 2],
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_records(gz):
+    pages = mk_pages()
+    data = WC.write_warc(pages, gzip_per_record=gz)
+    recs = list(WC.iter_warc(data))
+    assert recs[0]["type"] == "warcinfo"
+    resp = [r for r in recs if r["type"] == "response"]
+    assert len(resp) == 5
+    for p, r in zip(pages, resp):
+        assert r["headers"]["WARC-Target-URI"] == p["url"]
+        status, hh, body = WC.parse_http_response(r["payload"])
+        assert status == 200
+        assert body == p["html"]
+        assert hh["content-language"] == p["lang"]
+        assert hh["content-type"].startswith("text/html")
+
+
+def test_gzip_members_are_independent():
+    # .warc.gz = one gzip member per record: each member must inflate
+    # alone (that is what makes per-record random access possible)
+    import zlib
+
+    pages = mk_pages(3)
+    data = WC.write_warc(pages)
+    members = []
+    rest = data
+    while rest:
+        do = zlib.decompressobj(31)
+        members.append(do.decompress(rest) + do.flush())
+        rest = do.unused_data
+    assert len(members) == 4  # warcinfo + 3 responses
+    for m in members:
+        assert m.startswith(b"WARC/1.0")
+
+
+def test_non200_and_non_response_records_skipped():
+    pages = mk_pages(3)
+    pages[1]["status"] = 404
+    rows = WC._records_to_page_rows(WC.write_warc(pages))
+    assert [r["url"] for r in rows] == [pages[0]["url"], pages[2]["url"]]
+    # engine text derived from the body
+    assert rows[0]["text"] == "doc 0 & more"
+    assert rows[0]["lang"] == "en"
+    assert rows[0]["warc_ts"] == datetime(2021, 3, 4, 5, 6, 0)
+
+
+def test_truncation_and_framing_errors():
+    data = WC.write_warc(mk_pages(2), gzip_per_record=False)
+    with pytest.raises(ValueError, match="truncated|separator"):
+        list(WC.iter_warc(data[:-10]))
+    with pytest.raises(ValueError, match="bad version"):
+        list(WC.iter_warc(b"NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+    # resource-style payload (no HTTP prefix) → all body
+    status, hh, body = WC.parse_http_response(b"raw bytes only")
+    assert status == 200 and hh == {} and body == b"raw bytes only"
+
+
+def test_read_warc_matches_fixture_world(spark, tmp_path):
+    """The Spark ingest face: read_warc over the sharded fixture-world
+    archives must reproduce the pages table — same url set, per-url
+    byte-identical html, and text equal to the committed golden (the
+    byte-parity invariant carried through the WARC edge)."""
+    from frontier_engine.fixtures import WorldSpec, generate_world
+
+    spec = WorldSpec(n_hosts=6, listings_total=24)
+    paths = WC.write_warc_world(spec, str(tmp_path / "warcs"), n_archives=3)
+    assert len(paths) == 3
+    got = {r.url: r for r in WC.read_warc(spark, str(tmp_path / "warcs")).collect()}
+    want = generate_world(spec)["pages"]
+    assert set(got) == set(want["url"])
+    for _, w in want.iterrows():
+        g = got[w["url"]]
+        assert bytes(g.html) == bytes(w["html"])
+        assert g.text == w["text"]
+        assert g.lang == w["lang"]
+
+
+def test_read_warc_stage_prunes_to_content(spark, tmp_path):
+    """The mapInPandas stage must see ONLY the content column — path,
+    length and modificationTime are pruned before the Python stage."""
+    paths = WC.write_warc_world(
+        __import__("frontier_engine.fixtures", fromlist=["WorldSpec"]).WorldSpec(
+            n_hosts=2, listings_total=4
+        ),
+        str(tmp_path / "w"),
+        n_archives=1,
+    )
+    df = WC.read_warc(spark, paths[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = [
+        ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert schemas == [" struct<content:binary>"]
