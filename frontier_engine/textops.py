@@ -437,52 +437,77 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     'und' when no marker hits. Deterministic tie-break: higher count wins,
     then lexicographic language code (greatest(struct) semantics).
 
-    Two-step projection (r4 perf): the padded normalized text is
-    materialized once, then the 20 marker counts reference the column —
-    the single-select shape re-ran the normalization regex per marker
-    reference (~40× per row)."""
+    Three-step projection (r4 perf): (1) the padded normalized text is
+    materialized once — the single-select shape re-ran the normalization
+    regex per marker reference (~40× per row); (2) the four marker-count
+    sums are materialized as columns — the old shape inlined ALL 20 text
+    replaces twice, once in the WHEN condition and once in the THEN
+    branch (plan-measured: 40 replace() per row, now 20). The replaces
+    are non-cheap, so CollapseProject keeps both splits; the argmax in
+    step (3) duplicates only plain column refs."""
     padded = docs.select(
         F.col(id_col),
         F.concat(F.lit(" "), normalized_text(F.col(text_col)), F.lit(" ")).alias("_padded"),
     )
-    scores = {
-        lang: sum((_count_occurrences(F.col("_padded"), m) for m in markers), F.lit(0.0)).cast("double")
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = F.greatest(
-        *[F.struct(c.alias("score"), F.lit(lang).alias("lang")) for lang, c in sorted(scores.items(), reverse=True)]
-    )
-    return padded.select(
+    scored = padded.select(
         F.col(id_col),
-        *[c.alias(f"score_{lang}") for lang, c in sorted(scores.items())],
+        *[
+            sum((_count_occurrences(F.col("_padded"), m) for m in markers), F.lit(0.0))
+            .cast("double")
+            .alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS, reverse=True)
+        ]
+    )
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
     )
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """C4/Gopher-style quality features + composite score, all expression
-    arithmetic (SQL-mirrorable). Two-step projection like lang_id: the
-    normalization regex runs once per row, not once per feature."""
+    arithmetic (SQL-mirrorable). Three-step projection like lang_id:
+    step 1 runs the normalization regex once per row; step 2 materializes
+    the raw counters (the old shape re-split the document into its word
+    array NINE times per row — once per n_words reference — and re-ran
+    the punct regex per reference; plan-measured split() 9 → 1); step 3
+    is plain-column arithmetic, free to duplicate."""
     docs = docs.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_qnorm")
     )
     norm = F.col("_qnorm")
-    n_chars = F.length(norm)
-    words = F.split(norm, " ")
-    n_words = F.size(words)
-    mean_word_len = (n_chars - (n_words - 1)) / n_words
-    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
-    stop_hits = sum(
-        (_count_occurrences(F.concat(F.lit(" "), norm, F.lit(" ")), m) for m in LANG_MARKERS["en"]),
-        F.lit(0.0),
+    counters = docs.select(
+        F.col(id_col),
+        F.length(norm).alias("_n_chars"),
+        F.size(F.split(norm, " ")).alias("_n_words"),
+        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).alias("_punct"),
+        sum(
+            (
+                _count_occurrences(F.concat(F.lit(" "), norm, F.lit(" ")), m)
+                for m in LANG_MARKERS["en"]
+            ),
+            F.lit(0.0),
+        ).alias("_stop_hits"),
     )
-    return docs.select(
+    n_chars = F.col("_n_chars")
+    n_words = F.col("_n_words")
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    return counters.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stop_hits / F.greatest(n_words.cast("double"), F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(F.col("_punct") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(
+            F.col("_stop_hits") / F.greatest(n_words.cast("double"), F.lit(1.0)), 6
+        ).alias("stopword_ratio"),
         (
             (n_words >= 5) & (mean_word_len >= 2) & (mean_word_len <= 12)
         ).alias("passes_quality"),
