@@ -564,15 +564,25 @@ def q_events_moving_avg(spark, sf_dir):
 # recomputes exactly ---
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash→LSH→exact-verify near-dup pairs at jaccard ≥ 0.8. The
+    """MinHash→LSH→exact-verify near-dup pairs at jaccard ≥ 0.8, plus the
+    r4 transitive-closure column: ``component`` labels each pair's
+    duplicate CLUSTER (large-star/small-star connected components over
+    the verified pair graph, components.py — similarity is not
+    transitive, so cluster-level survivor policy needs this). The
     exact-Jaccard verify means no false positives; banding recall at the
     corpus's planted-dup similarity (J ≈ 0.97) is 1 − (1−J⁴)⁸ ≈ 1-3e-8,
-    so the output equals the exact all-pairs answer the oracle computes."""
+    so the output equals the exact all-pairs answer the oracle computes
+    (closure there: recursive CTE over the same exact pairs)."""
+    from frontier_engine.components import connected_components
     from frontier_engine.textops import minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    pairs = minhash_dedup_pairs(d, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "id_a"
+    )
+    return pairs.join(comp, "id_a").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "component"
     )
 
 
@@ -2050,7 +2060,7 @@ def _oracle_sql_build() -> dict[str, str]:
             ) ORDER BY cos_raw DESC, vec_id LIMIT 10
         """,
         "minhash_dedup": f"""
-            WITH norm AS (
+            WITH RECURSIVE norm AS (
               SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
             ),
             grams AS (
@@ -2059,17 +2069,33 @@ def _oracle_sql_build() -> dict[str, str]:
                        list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, length(w) - 1)])
                      ELSE [] END AS sh
               FROM norm
+            ),
+            pairs AS (
+              SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       ROUND(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                             length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+                       CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                             length(list_distinct(list_concat(a.sh, b.sh))) AS raw
+                FROM grams a, grams b
+                WHERE a.doc_id < b.doc_id
+                  AND length(list_distinct(list_concat(a.sh, b.sh))) > 0
+              ) WHERE raw >= 0.8
+            ),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, node) AS (
+              SELECT u, u FROM bidir
+              UNION
+              SELECT reach.src, bidir.v FROM reach JOIN bidir ON reach.node = bidir.u
+            ),
+            comp AS (
+              SELECT src AS id, MIN(node) AS component FROM reach GROUP BY src
             )
-            SELECT id_a, id_b, jaccard FROM (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     ROUND(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                           length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
-                     CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                           length(list_distinct(list_concat(a.sh, b.sh))) AS raw
-              FROM grams a, grams b
-              WHERE a.doc_id < b.doc_id
-                AND length(list_distinct(list_concat(a.sh, b.sh))) > 0
-            ) WHERE raw >= 0.8
+            SELECT p.id_a, p.id_b, p.jaccard, c.component
+            FROM pairs p JOIN comp c ON p.id_a = c.id
         """,
         "minhash_dedup_join": f"""
             WITH norm AS (
