@@ -440,23 +440,30 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_text_metrics(spark, sf_dir):
-    """CONSOLIDATED correctness row covering FOUR text-analysis operators
-    (lang_id + quality_score + token_counts + doc_fingerprint), joined on
-    doc_id into one frame. Consolidation exists because the driver's
-    correctness sweep records at most 50 query rows (r3 checked exactly
-    the first 50 of 53 dict entries; the full sweep takes <2 min at
-    sf0.01, so it was a count cap, not time) — every operator keeps its
-    own oracle-checked columns, just sharing a row."""
+    """CONSOLIDATED correctness row covering FIVE text-analysis operators
+    (lang_id + quality_score + token_counts + doc_fingerprint + the r4
+    bigram-LM perplexity scorer), joined on doc_id into one frame.
+    Consolidation exists because the driver's correctness sweep records
+    at most 50 query rows (r3 checked exactly the first 50 of 53 dict
+    entries; the full sweep takes <2 min at sf0.01, so it was a count
+    cap, not time) — every operator keeps its own oracle-checked
+    columns, just sharing a row. The LM columns self-score the corpus
+    (train and score on `documents`) so the whole train+score path —
+    bigram counts, add-α smoothing, vocab scalar, per-doc aggregation —
+    is pinned by the DuckDB twin."""
     from frontier_engine.textops import (
-        doc_fingerprint_md5, lang_id, quality_score, token_counts,
+        bigram_lm, doc_fingerprint_md5, lang_id, lm_score, quality_score,
+        token_counts,
     )
 
     d = _t(spark, sf_dir, "documents")
+    uni, bi, voc = bigram_lm(d)
     return (
         lang_id(d)
         .join(quality_score(d), "doc_id")
         .join(token_counts(d), "doc_id")
         .join(doc_fingerprint_md5(d), "doc_id")
+        .join(lm_score(d, uni, bi, voc), "doc_id")
     )
 
 
@@ -1385,9 +1392,11 @@ def oracle_sql() -> dict[str, str]:
         WITH L AS ({out.pop("lang_id")}),
              Q AS ({out.pop("quality_score")}),
              T AS ({out.pop("token_counts")}),
-             FP AS ({out.pop("doc_fingerprint")})
+             FP AS ({out.pop("doc_fingerprint")}),
+             LM AS ({out.pop("lm_score")})
         SELECT * FROM L
         JOIN Q USING (doc_id) JOIN T USING (doc_id) JOIN FP USING (doc_id)
+        JOIN LM USING (doc_id)
     """
     lsh = out.pop("lsh_ann")  # LSH and IVF must both equal brute force
     out["ann_topk"] = f"""
@@ -1976,6 +1985,34 @@ def _oracle_sql_build() -> dict[str, str]:
                    (n_words >= 5 AND (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) >= 2
                     AND (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) <= 12) AS passes_quality
             FROM f
+        """,
+        "lm_score": f"""
+            WITH words AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+            ),
+            bg0 AS (
+              SELECT doc_id,
+                     unnest([{{'w1': ws[i], 'w2': ws[i+1]}} FOR i IN range(1, length(ws))]) AS p
+              FROM words
+            ),
+            bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+            b2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+            u1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS vocab_size
+                  FROM (SELECT unnest(ws) AS w FROM words)),
+            sc AS (
+              SELECT bg.doc_id, COUNT(*) AS nb,
+                     AVG(ln((COALESCE(c12, 0) + 0.5) /
+                            (COALESCE(c1, 0) + 0.5 * vocab_size))) AS lp
+              FROM bg LEFT JOIN b2 USING (w1, w2) LEFT JOIN u1 USING (w1)
+                   CROSS JOIN v
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(nb, 0) AS lm_bigrams,
+                   ROUND(lp, 6) AS lm_logprob,
+                   ROUND(exp(-lp), 6) AS lm_ppl
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "token_counts": """
             SELECT doc_id,

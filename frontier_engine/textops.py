@@ -526,6 +526,115 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# --------------------------------------------------------------------------
+# bigram language-model quality scoring (perplexity-style)
+# --------------------------------------------------------------------------
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent word pair of the normalized
+    text. Two-step projection (the r4 lambda-binding discipline): the
+    word array is materialized once, then zip_with pairs its two slices
+    — both slices are ARGUMENTS, not free expressions re-evaluated per
+    element. Docs with <2 words emit no rows."""
+    words = docs.select(
+        F.col(id_col), F.split(normalized_text(F.col(text_col)), " ").alias("_ws")
+    )
+    n = F.size("_ws")
+    return words.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_ws", F.lit(1), n - 1),
+                F.slice("_ws", F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train an add-α bigram LM over a corpus: returns ``(unigrams,
+    bigrams, vocab)`` — ``(w1, c1)`` left-position counts, ``(w1, w2,
+    c12)`` pair counts (pruned to ``c12 >= min_count``; pruning bounds
+    the table at web scale and smoothing absorbs the pruned tail), and a
+    one-row ``(vocab_size)`` frame.
+
+    The 100 TB shape: both count tables are partial-aggregated groupBys
+    (map-side combine carries one row per distinct key per task); the
+    vocab scalar is a countDistinct. KenLM-style quality filtering
+    (CCNet, Wenzek et al. 2020 §4.3 score documents by LM perplexity to
+    rank crawled text) reduced to the Spark-expressible bigram case —
+    scoring (:func:`lm_score`) is then two equi-joins, no UDFs."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    bigrams = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    unigrams = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    return unigrams, bigrams, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained bigram LM: per-doc mean bigram
+    log-probability and perplexity ``exp(-mean)``.
+
+    One smoothed formula covers in-vocab, unseen-pair and unseen-word
+    cases alike: ``ln((c12+α) / (c1+α·V))`` with missing counts as 0 —
+    an OOV left word degrades to ``ln(1/V)``, never a null or a crash.
+
+    Shape: explode docs to bigrams, LEFT equi-join the two count tables
+    (on (w1,w2) and w1 — broadcastable when the LM is pruned, plain
+    shuffle joins otherwise), cross-join the one-row vocab scalar
+    (broadcast), aggregate per doc, then right-join onto the input so
+    docs with <2 words keep a row (``lm_bigrams = 0``, null score).
+    Returns ``(id, lm_bigrams, lm_logprob, lm_ppl)``."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    scored = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + F.lit(alpha))
+                / (
+                    F.coalesce("c1", F.lit(0))
+                    + F.lit(alpha) * F.col("vocab_size")
+                )
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_nb"), F.avg("_lp").alias("_avg_lp"))
+    )
+    return docs.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_nb", F.lit(0)).alias("lm_bigrams"),
+        F.round("_avg_lp", 6).alias("lm_logprob"),
+        F.round(F.exp(-F.col("_avg_lp")), 6).alias("lm_ppl"),
+    )
+
+
 def _fingerprint_blocks(text_col: Column) -> Column:
     # lambda-bind the normalized text (see word_shingles): a free
     # expression in the lambda body would re-run the normalization regex

@@ -236,3 +236,76 @@ def test_stratified_sample_quota_and_determinism(spark):
         for r in stratified_sample(df, quotas, group_col="lang", salt_partitions=1).collect()
     )
     assert rows1 == rows2 == unsalted  # deterministic AND salt-invariant
+
+
+def test_bigram_lm_score_matches_python_twin(spark):
+    """Round-4 bigram-LM scorer vs a driver-side pure-Python twin: train
+    on a small corpus, score BOTH the corpus (no OOV) and a fresh batch
+    with unseen words/pairs, plus a 1-word doc (no bigrams → null)."""
+    import math
+
+    from frontier_engine.textops import bigram_lm, lm_score
+
+    corpus_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+    ]
+    batch_rows = [
+        (10, "the cat sat"),            # all in-vocab pairs
+        (11, "the zebra jumped high"),  # OOV words and pairs
+        (12, "mat"),                    # 1 word → no bigrams
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    ALPHA = 0.5
+    # python twin
+    def words(t):
+        return t.lower().split()
+
+    c12, c1, vocab = {}, {}, set()
+    for _, t in corpus_rows:
+        ws = words(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+
+    def expected(t):
+        ws = words(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            return (0, None, None)
+        lp = sum(
+            math.log((c12.get(p, 0) + ALPHA) / (c1.get(p[0], 0) + ALPHA * V))
+            for p in pairs
+        ) / len(pairs)
+        return (len(pairs), round(lp, 6), round(math.exp(-lp), 6))
+
+    uni, bi, voc = bigram_lm(corpus)
+    assert voc.first()["vocab_size"] == V
+    for rows, df in ((corpus_rows, corpus), (batch_rows, batch)):
+        got = {
+            r["doc_id"]: (r["lm_bigrams"], r["lm_logprob"], r["lm_ppl"])
+            for r in lm_score(df, uni, bi, voc, alpha=ALPHA).collect()
+        }
+        for doc_id, t in rows:
+            assert got[doc_id] == expected(t), (doc_id, got[doc_id], expected(t))
+
+
+def test_bigram_lm_min_count_prunes_pairs(spark):
+    """min_count prunes singleton bigrams from the LM table; pruned pairs
+    score as unseen (smoothing only), seen pairs unchanged."""
+    from frontier_engine.textops import bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    _, bi_all, _ = bigram_lm(corpus, min_count=1)
+    _, bi_pruned, _ = bigram_lm(corpus, min_count=2)
+    all_pairs = {(r["w1"], r["w2"]): r["c12"] for r in bi_all.collect()}
+    pruned = {(r["w1"], r["w2"]): r["c12"] for r in bi_pruned.collect()}
+    assert all_pairs == {("x", "y"): 3, ("y", "x"): 1, ("y", "z"): 1}
+    assert pruned == {("x", "y"): 3}
