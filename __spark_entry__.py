@@ -877,12 +877,14 @@ _PARSE_ARGS = ("2026-09-01", "2026-09-29", 9000)  # == fixtures.WorldSpec defaul
 
 def q_page_text_extract(spark, sf_dir):
     """P9: html→plaintext byte parity — the engine recomputes text from the
-    raw html bytes with the Arrow UDF; the oracle returns the generator's
-    golden text column. Hash equality IS the byte-identical invariant."""
-    from frontier_engine.html_text import html_bytes_to_text_udf
+    raw html bytes via the mapInArrow path (r4: no pandas hop on either
+    side of the Arrow boundary; tests/test_html_text.py pins it equal to
+    the pandas_udf twin); the oracle returns the generator's golden text
+    column. Hash equality IS the byte-identical invariant."""
+    from frontier_engine.html_text import html_bytes_to_text_arrow
 
     pages = spark.read.parquet(_FIXTURE_PAGES)
-    return pages.select("url", html_bytes_to_text_udf(F.col("html")).alias("text"))
+    return html_bytes_to_text_arrow(pages, keep=("url",))
 
 
 def q_pdp_extract(spark, sf_dir):

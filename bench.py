@@ -280,7 +280,7 @@ def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
     from pyspark.sql.window import Window
 
     from frontier_engine.fetch import fetch_batch
-    from frontier_engine.html_text import html_bytes_to_text_udf
+    from frontier_engine.html_text import html_bytes_to_text_arrow
     from frontier_engine.textops import (
         corpus_band_table, lang_id, minhash_dedup_join, stratified_sample,
     )
@@ -319,9 +319,9 @@ def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
 
     def parse_text():
         fetched = spark.read.parquet(os.path.join(work, "fetched"))
-        fetched.select(
-            F.xxhash64("url").alias("doc_id"),
-            html_bytes_to_text_udf(F.col("html")).alias("text"),
+        html_bytes_to_text_arrow(
+            fetched.select(F.xxhash64("url").alias("doc_id"), "html"),
+            keep=("doc_id",),
         ).write.mode("overwrite").parquet(os.path.join(work, "batch_docs"))
 
     stage("parse_text", parse_text)

@@ -89,3 +89,53 @@ def html_bytes_to_text_udf(html: pd.Series) -> pd.Series:
     return html.map(
         lambda b: html_to_text(bytes(b).decode("utf-8")), na_action="ignore"
     )
+
+
+def html_bytes_to_text_arrow(df, html_col: str = "html", out_col: str = "text",
+                             keep: tuple = ()):
+    """mapInArrow variant of the byte-parity extraction (VERDICT r3 ask #1's
+    last lever): decode ``html_col`` (binary, utf-8) to plaintext without a
+    pandas hop on either side of the Arrow boundary.
+
+    Why this exists: a ``pandas_udf`` materializes the input RecordBatch as
+    a pandas object Series (one Python ``bytes`` box per value, plus Series
+    index machinery) and converts the returned Series back through pandas
+    before re-encoding to Arrow. ``mapInArrow`` hands us the RecordBatch
+    itself — ``as_py()`` per value is the only boxing, and the output is
+    built directly with ``pa.array``. The per-row HTMLParser work is
+    identical (it IS the byte-parity contract), so output bytes match
+    :func:`html_bytes_to_text_udf` exactly; only the transfer overhead
+    differs.
+
+    Shape: selects ``keep + (html_col,)`` BEFORE the Arrow exchange so only
+    those columns cross the boundary (the 1-column-child-schema discipline),
+    and returns ``keep + (out_col,)`` — the html bytes never come back.
+    Embarrassingly parallel: one Arrow exchange, no shuffle.
+    """
+    import pyarrow as pa
+
+    in_cols = [*keep, html_col]
+    src = df.select(*in_cols)
+    out_fields = [src.schema[c] for c in keep]
+    out_schema_ddl = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`{out_col}` string"]
+    )
+
+    def _convert(batches):
+        for batch in batches:
+            html_arr = batch.column(len(in_cols) - 1)
+            texts = pa.array(
+                (
+                    None if v is None else html_to_text(v.decode("utf-8"))
+                    for v in (x.as_py() for x in html_arr)
+                ),
+                type=pa.string(),
+                size=batch.num_rows,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(keep))] + [texts],
+                names=[*keep, out_col],
+            )
+
+    return src.mapInArrow(_convert, out_schema_ddl)

@@ -41,3 +41,25 @@ def test_lxml_parity_on_fixture_corpus(world):
     for _, row in world["pages"].iterrows():
         h = row["html"].decode("utf-8")
         assert html_to_text(h) == lxml.html.document_fromstring(h).text_content()
+
+
+def test_map_in_arrow_matches_pandas_udf_on_fixture_corpus(spark, world):
+    """r4 mapInArrow path (html_bytes_to_text_arrow) is byte-identical to
+    the pandas_udf twin over the whole fixture corpus, including keep
+    passthrough, null html, and column pruning of the html bytes."""
+    import pyspark.sql.functions as F
+
+    from frontier_engine.html_text import (
+        html_bytes_to_text_arrow, html_bytes_to_text_udf,
+    )
+
+    pages = spark.createDataFrame(world["pages"][["url", "html"]])
+    pages = pages.unionByName(
+        spark.createDataFrame([("null://page", None)], pages.schema)
+    )
+    got = html_bytes_to_text_arrow(pages, keep=("url",))
+    assert got.columns == ["url", "text"]  # html never crosses back
+    want = pages.select("url", html_bytes_to_text_udf(F.col("html")).alias("text"))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) == pages.count()
