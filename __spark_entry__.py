@@ -440,9 +440,10 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_text_metrics(spark, sf_dir):
-    """CONSOLIDATED correctness row covering FIVE text-analysis operators
+    """CONSOLIDATED correctness row covering SIX text-analysis operators
     (lang_id + quality_score + token_counts + doc_fingerprint + the r4
-    bigram-LM perplexity scorer), joined on doc_id into one frame.
+    bigram-LM perplexity scorer + the r4 Gopher repetition-signal
+    family), joined on doc_id into one frame.
     Consolidation exists because the driver's correctness sweep records
     at most 50 query rows (r3 checked exactly the first 50 of 53 dict
     entries; the full sweep takes <2 min at sf0.01, so it was a count
@@ -453,7 +454,7 @@ def q_text_metrics(spark, sf_dir):
     is pinned by the DuckDB twin."""
     from frontier_engine.textops import (
         bigram_lm, doc_fingerprint_md5, lang_id, lm_score, quality_score,
-        token_counts,
+        repetition_metrics, token_counts,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -464,6 +465,7 @@ def q_text_metrics(spark, sf_dir):
         .join(token_counts(d), "doc_id")
         .join(doc_fingerprint_md5(d), "doc_id")
         .join(lm_score(d, uni, bi, voc), "doc_id")
+        .join(repetition_metrics(d), "doc_id")
     )
 
 
@@ -1395,10 +1397,11 @@ def oracle_sql() -> dict[str, str]:
              Q AS ({out.pop("quality_score")}),
              T AS ({out.pop("token_counts")}),
              FP AS ({out.pop("doc_fingerprint")}),
-             LM AS ({out.pop("lm_score")})
+             LM AS ({out.pop("lm_score")}),
+             R AS ({out.pop("rep_metrics")})
         SELECT * FROM L
         JOIN Q USING (doc_id) JOIN T USING (doc_id) JOIN FP USING (doc_id)
-        JOIN LM USING (doc_id)
+        JOIN LM USING (doc_id) JOIN R USING (doc_id)
     """
     lsh = out.pop("lsh_ann")  # LSH and IVF must both equal brute force
     out["ann_topk"] = f"""
@@ -1987,6 +1990,60 @@ def _oracle_sql_build() -> dict[str, str]:
                    (n_words >= 5 AND (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) >= 2
                     AND (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) <= 12) AS passes_quality
             FROM f
+        """,
+        # Gopher repetition family (textops.repetition_metrics): the twin
+        # groups by the gram STRING where the engine groups by
+        # xxhash64(gram) — identical results modulo 64-bit collisions.
+        "rep_metrics": f"""
+            WITH n0 AS (
+              SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+            ), w AS (
+              SELECT doc_id, length(norm) AS n_chars,
+                     string_split(norm, ' ') AS ws
+              FROM n0
+            ), g AS (
+              SELECT doc_id, n_chars, 1 AS n, unnest(ws) AS gram FROM w
+              UNION ALL SELECT doc_id, n_chars, 2,
+                unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, length(ws))]) FROM w
+              UNION ALL SELECT doc_id, n_chars, 3,
+                unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, length(ws)-1)]) FROM w
+              UNION ALL SELECT doc_id, n_chars, 4,
+                unnest([array_to_string(ws[i:i+3], ' ') FOR i IN range(1, length(ws)-2)]) FROM w
+              UNION ALL SELECT doc_id, n_chars, 5,
+                unnest([array_to_string(ws[i:i+4], ' ') FOR i IN range(1, length(ws)-3)]) FROM w
+              UNION ALL SELECT doc_id, n_chars, 10,
+                unnest([array_to_string(ws[i:i+9], ' ') FOR i IN range(1, length(ws)-8)]) FROM w
+            ), c AS (
+              SELECT doc_id, n_chars, n, gram,
+                     COUNT(*) AS cnt, length(gram) AS len
+              FROM g GROUP BY 1, 2, 3, 4
+            ), a AS (
+              SELECT doc_id, n_chars,
+                     SUM(CASE WHEN n = 1 THEN cnt END) AS w_total,
+                     COUNT(CASE WHEN n = 1 THEN 1 END) AS w_distinct,
+                     MAX(CASE WHEN n = 2 THEN cnt * len END) AS top2,
+                     MAX(CASE WHEN n = 3 THEN cnt * len END) AS top3,
+                     MAX(CASE WHEN n = 4 THEN cnt * len END) AS top4,
+                     SUM(CASE WHEN n = 2 AND cnt > 1 THEN cnt * len END) AS dup2,
+                     SUM(CASE WHEN n = 2 THEN cnt * len END) AS tot2,
+                     SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt * len END) AS dup3,
+                     SUM(CASE WHEN n = 3 THEN cnt * len END) AS tot3,
+                     SUM(CASE WHEN n = 5 AND cnt > 1 THEN cnt * len END) AS dup5,
+                     SUM(CASE WHEN n = 5 THEN cnt * len END) AS tot5,
+                     SUM(CASE WHEN n = 10 AND cnt > 1 THEN cnt * len END) AS dup10,
+                     SUM(CASE WHEN n = 10 THEN cnt * len END) AS tot10
+              FROM c GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   ROUND(1.0 - CAST(w_distinct AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS word_rep_frac,
+                   ROUND(COALESCE(CAST(top2 AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 0.0), 6) AS top2gram_char_frac,
+                   ROUND(COALESCE(CAST(top3 AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 0.0), 6) AS top3gram_char_frac,
+                   ROUND(COALESCE(CAST(top4 AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 0.0), 6) AS top4gram_char_frac,
+                   ROUND(COALESCE(CAST(dup2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0), 6) AS dup2gram_char_frac,
+                   ROUND(COALESCE(CAST(dup3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0), 6) AS dup3gram_char_frac,
+                   ROUND(COALESCE(CAST(dup5 AS DOUBLE) / CAST(tot5 AS DOUBLE), 0.0), 6) AS dup5gram_char_frac,
+                   ROUND(COALESCE(CAST(dup10 AS DOUBLE) / CAST(tot10 AS DOUBLE), 0.0), 6) AS dup10gram_char_frac
+            FROM a
         """,
         "lm_score": f"""
             WITH words AS (

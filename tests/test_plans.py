@@ -189,3 +189,24 @@ def test_stratified_sample_has_no_single_partition_window(spark):
     p = _plan(out)
     assert "SinglePartition" not in p, p
     assert p.count("Window") == 2, p  # phase-1 salted + phase-2 exact
+
+
+def test_repetition_metrics_shuffles_hashes_not_gram_text(spark):
+    """r4 guard: the Gopher repetition kernel must stay pure-JVM (no
+    Python nodes), never funnel to SinglePartition, and its first-stage
+    aggregate must key on the 24-byte (doc, n, xxhash64) struct fields —
+    exploded gram TEXT must die before the exchange (partial map-side
+    aggregation), or the shuffle volume becomes Σ n × corpus bytes."""
+    from frontier_engine.textops import repetition_metrics
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id").cast("string")).alias("text"),
+    )
+    p = _plan(repetition_metrics(docs))
+    assert "SinglePartition" not in p, p
+    assert "Python" not in p and "ArrowEval" not in p, p
+    assert "xxhash64" in p, p
+    # two aggregation layers, each with a partial (map-side) half:
+    # (doc,n,h) count then per-doc metrics — 4 HashAggregate nodes
+    assert p.count("HashAggregate") == 4, p

@@ -309,3 +309,58 @@ def test_bigram_lm_min_count_prunes_pairs(spark):
     pruned = {(r["w1"], r["w2"]): r["c12"] for r in bi_pruned.collect()}
     assert all_pairs == {("x", "y"): 3, ("y", "x"): 1, ("y", "z"): 1}
     assert pruned == {("x", "y"): 3}
+
+
+def test_repetition_metrics_match_python(spark):
+    """Gopher repetition family vs an independent Python recomputation,
+    including engineered repetition (doc 10: one word soup; doc 11: a
+    repeated 5-gram; doc 12: too short for any n≥5 gram)."""
+    import re
+    from collections import Counter
+
+    rows = [
+        (10, "spam spam spam spam spam spam"),
+        (11, "a b c d e a b c d e a b c d e x y z"),
+        (12, "just four tiny words"),
+        (13, DOCS[0][1]),
+        (14, DOCS[6][1]),
+        (15, "  Mixed   CASE  mixed case MIXED case  "),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def expected(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        ws = norm.split(" ")
+        n_chars = len(norm)
+
+        def grams(n):
+            return Counter(
+                " ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))
+            )
+
+        out = {"word_rep_frac": round(1.0 - len(set(ws)) / len(ws), 6)}
+        for n in (2, 3, 4):
+            g = grams(n)
+            top = max((c * len(s) for s, c in g.items()), default=None)
+            out[f"top{n}gram_char_frac"] = round(
+                (top / max(n_chars, 1)) if top is not None else 0.0, 6
+            )
+        for n in (2, 3, 5, 10):
+            g = grams(n)
+            tot = sum(c * len(s) for s, c in g.items())
+            dup = sum(c * len(s) for s, c in g.items() if c > 1)
+            out[f"dup{n}gram_char_frac"] = round(dup / tot, 6) if tot else 0.0
+        return out
+
+    got = {r["doc_id"]: r.asDict() for r in X.repetition_metrics(df).collect()}
+    for doc_id, t in rows:
+        want = expected(t)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k, got[doc_id][k], v)
+    # sanity of the signal itself: pure repetition maxes out, clean text
+    # stays near zero
+    assert got[10]["word_rep_frac"] > 0.8
+    assert got[10]["dup5gram_char_frac"] == 1.0
+    assert got[11]["dup5gram_char_frac"] > 0.5
+    assert got[12]["dup5gram_char_frac"] == 0.0
+    assert got[14]["word_rep_frac"] == 0.0
