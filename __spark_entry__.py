@@ -409,13 +409,22 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_duplicate_spans(spark, sf_dir):
-    """Duplicate-span detection (textops.duplicate_spans): per doc, count
-    of distinct 6-word spans shared with another doc + dup ratio — the
-    Lee-et-al.-2022 span-dedup signal; SQL twin recomputes span sets and
-    frequencies from scratch."""
-    from frontier_engine.textops import duplicate_spans
+    """CONSOLIDATED span-overlap row (see q_text_metrics for why): two
+    operators over the same per-doc grain, joined on doc_id.
 
-    return duplicate_spans(_t(spark, sf_dir, "documents"), n=6)
+    * textops.duplicate_spans: per doc, count of distinct 6-word spans
+      shared with another doc + dup ratio — the Lee-et-al.-2022
+      span-dedup signal; SQL twin recomputes span sets and frequencies
+      from scratch.
+    * textops.decontaminate (r4): GPT-3-style test-set decontamination —
+      8-gram overlap flags vs a benchmark slice (doc_id % 97 == 0, a
+      deterministic stand-in for a held-out eval set); the twin
+      recomputes benchmark gram sets and per-doc hit counts."""
+    from frontier_engine.textops import decontaminate, duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bmk = d.where(F.col("doc_id") % 97 == 0)
+    return duplicate_spans(d, n=6).join(decontaminate(d, bmk, n=8), "doc_id")
 
 
 def q_lang_id(spark, sf_dir):
@@ -614,17 +623,47 @@ def q_minhash_dedup_join(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    """Round-3 data-mixing op (textops.stratified_sample): deterministic
-    per-language quota sampling — rank by (md5(doc_id), doc_id) within
-    lang, keep rank ≤ quota; languages without a quota drop. md5 hex is
-    engine-identical, so the oracle recomputes the exact permutation."""
-    from frontier_engine.textops import stratified_sample
+    """CONSOLIDATED sampling row (see q_text_metrics for why): two
+    data-selection operators union-tagged by `method`.
+
+    * 'quota' — textops.stratified_sample (r3): deterministic
+      per-language quota sampling, rank by (md5(doc_id), doc_id) within
+      lang, keep rank ≤ quota. md5 hex is engine-identical, so the
+      oracle recomputes the exact permutation.
+    * 'dsir' — textops.dsir_select (r4): DSIR importance resampling of
+      60 docs toward a target domain (source src0/src1), bigram-LM
+      importance weights + deterministic md5-seeded Gumbel noise — the
+      full train→weigh→resample path is SQL-recomputable, so the twin
+      pins both LM trainings, the weight arithmetic, and the Gumbel
+      top-k selection."""
+    from pyspark.sql import Window
+
+    from frontier_engine.textops import dsir_select, stratified_sample
 
     d = _t(spark, sf_dir, "documents")
-    out = stratified_sample(
+    quota = stratified_sample(
         d, {"en": 40, "de": 25, "fr": 10}, group_col="lang", id_col="doc_id"
+    ).select(
+        F.lit("quota").alias("method"),
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        F.lit(0.0).alias("score"),
     )
-    return out.select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+    sel = dsir_select(d, d.where(F.col("source").isin("src0", "src1")), k=60)
+    # rank window is bounded by k=60 post-limit rows — never the corpus
+    wnd = Window.orderBy(F.col("dsir_key").desc(), F.col("doc_id"))
+    dsir = (
+        sel.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.lit("dsir").alias("method"),
+            "doc_id",
+            "lang",
+            F.row_number().over(wnd).cast("int").alias("sample_rank"),
+            F.col("dsir_key").alias("score"),
+        )
+    )
+    return quota.unionByName(dsir)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1924,13 +1963,26 @@ def _oracle_sql_build() -> dict[str, str]:
               FROM norm, (SELECT unnest(range(1, 4096)) AS i)
               WHERE i + 5 <= length(w)
             ),
-            cnt AS (SELECT g, COUNT(*) AS nd FROM sh GROUP BY g)
-            SELECT sh.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_spans,
-                   CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-                   ROUND(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_ratio
-            FROM sh JOIN cnt USING (g)
-            GROUP BY sh.doc_id
+            cnt AS (SELECT g, COUNT(*) AS nd FROM sh GROUP BY g),
+            spans AS (
+              SELECT sh.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                     ROUND(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_ratio
+              FROM sh JOIN cnt USING (g)
+              GROUP BY sh.doc_id
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM norm, (SELECT unnest(range(1, 4096)) AS i)
+              WHERE i + 7 <= length(w)
+            ),
+            bmk AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, COUNT(*) AS ch FROM dg JOIN bmk USING (g) GROUP BY 1)
+            SELECT spans.*,
+                   CAST(COALESCE(ch, 0) AS BIGINT) AS contaminated_ngrams,
+                   COALESCE(ch, 0) > 0 AS contaminated
+            FROM spans LEFT JOIN hits USING (doc_id)
         """,
         "ngram_jaccard_pairs": f"""
             WITH norm AS (
@@ -2215,7 +2267,12 @@ def _oracle_sql_build() -> dict[str, str]:
               WHERE length(list_distinct(list_concat(a.sh, b.sh))) > 0
             ) WHERE raw >= 0.8
         """,
-        "stratified_sample": """
+        # quota sampling (r3) UNION dsir_select (r4): the dsir half
+        # recomputes BOTH bigram-LM trainings (target = src0/src1 docs,
+        # raw = all), the importance weight, the md5-seeded Gumbel key
+        # and the top-60 selection — engine-exact because every float
+        # step mirrors lm_score's 6-dp-rounded arithmetic.
+        "stratified_sample": f"""
             WITH q(lang, quota) AS (VALUES ('en', 40), ('de', 25), ('fr', 10)),
             ranked AS (
               SELECT d.doc_id, d.lang, q.quota,
@@ -2224,9 +2281,65 @@ def _oracle_sql_build() -> dict[str, str]:
                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
                      ) AS sample_rank
               FROM documents d JOIN q ON d.lang = q.lang
+            ),
+            words AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+            ),
+            bg0 AS (
+              SELECT doc_id,
+                     unnest([{{'w1': ws[i], 'w2': ws[i+1]}} FOR i IN range(1, length(ws))]) AS p
+              FROM words
+            ),
+            bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+            tgt AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+            bt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg JOIN tgt USING (doc_id) GROUP BY 1, 2),
+            ut1 AS (SELECT w1, COUNT(*) AS c1 FROM bg JOIN tgt USING (doc_id) GROUP BY 1),
+            vt AS (SELECT COUNT(DISTINCT w) AS vocab_size
+                   FROM (SELECT unnest(ws) AS w FROM words JOIN tgt USING (doc_id))),
+            br2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+            ur1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            vr AS (SELECT COUNT(DISTINCT w) AS vocab_size
+                   FROM (SELECT unnest(ws) AS w FROM words)),
+            sct AS (
+              SELECT bg.doc_id, COUNT(*) AS nb,
+                     ROUND(AVG(ln((COALESCE(c12, 0) + 0.5) /
+                                  (COALESCE(c1, 0) + 0.5 * vocab_size))), 6) AS lp
+              FROM bg LEFT JOIN bt2 USING (w1, w2) LEFT JOIN ut1 USING (w1)
+                   CROSS JOIN vt
+              GROUP BY 1
+            ),
+            scr AS (
+              SELECT bg.doc_id, COUNT(*) AS nb,
+                     ROUND(AVG(ln((COALESCE(c12, 0) + 0.5) /
+                                  (COALESCE(c1, 0) + 0.5 * vocab_size))), 6) AS lp
+              FROM bg LEFT JOIN br2 USING (w1, w2) LEFT JOIN ur1 USING (w1)
+                   CROSS JOIN vr
+              GROUP BY 1
+            ),
+            keyed AS (
+              SELECT d.doc_id, d.lang,
+                     ROUND(
+                       ROUND(COALESCE((sct.lp - scr.lp) * CAST(sct.nb AS DOUBLE), 0.0), 6)
+                       + -ln(-ln((('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                                 / 4503599627370496.0)),
+                       6
+                     ) AS dsir_key
+              FROM documents d
+              LEFT JOIN sct ON d.doc_id = sct.doc_id
+              LEFT JOIN scr ON d.doc_id = scr.doc_id
+            ),
+            top AS (
+              SELECT doc_id, lang, dsir_key
+              FROM keyed ORDER BY dsir_key DESC, doc_id LIMIT 60
             )
-            SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+            SELECT 'quota' AS method, doc_id, lang,
+                   CAST(sample_rank AS INT) AS sample_rank, 0.0 AS score
             FROM ranked WHERE sample_rank <= quota
+            UNION ALL
+            SELECT 'dsir' AS method, doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dsir_key DESC, doc_id) AS INT) AS sample_rank,
+                   dsir_key AS score
+            FROM top
         """,
         "simhash_pairs": """
             SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS INT) AS hamming

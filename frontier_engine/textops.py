@@ -755,6 +755,79 @@ def lm_score(
     )
 
 
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    min_count: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv 2302.03169): pick
+    the *k* raw-corpus documents whose distribution best matches a small
+    TARGET corpus, by importance weight under two cheap n-gram LMs plus
+    Gumbel noise — importance RESAMPLING, not top-k-by-weight, so the
+    selected set is a sample of the reweighted distribution rather than
+    k near-duplicates of the target's strongest mode.
+
+    * feature model: the engine's add-α bigram LM (:func:`bigram_lm`) —
+      DSIR's hashed-ngram bag reduced to the Spark-expressible bigram
+      case, same reduction :func:`lm_score` documents for CCNet.
+    * ``dsir_log_w`` = (mean-bigram-logprob under target LM − mean under
+      raw LM) × n_bigrams — the doc's total log importance weight (means
+      are lm_score's 6-dp-rounded outputs, making the value engine-exact;
+      docs with <2 words get weight 0).
+    * selection: Gumbel-top-k — key = log_w + Gumbel(0,1), the standard
+      equivalence to sampling-without-replacement ∝ exp(log_w). The
+      Gumbel is DETERMINISTIC: u from the first 13 md5 hex chars of
+      (seed:doc_id) (52 bits exact in a double; +0.5 keeps u in (0,1)),
+      g = −ln(−ln(u)) — reproducible by any engine, like
+      stratified_sample's md5-rank permutation.
+
+    Scale shape: training = two hash-keyed count aggs per LM; scoring =
+    two broadcastable equi-joins per LM over the exploded bigrams;
+    selection = orderBy(key).limit(k) which Spark executes as
+    TakeOrderedAndProject — per-partition top-k then a k·n_parts merge,
+    never a global sort, never SinglePartition over the corpus. For k
+    beyond driver comfort, swap the limit for a key-threshold filter
+    calibrated from a sample quantile."""
+    uni_t, bi_t, voc_t = bigram_lm(target, text_col, id_col, min_count)
+    uni_r, bi_r, voc_r = bigram_lm(raw, text_col, id_col, min_count)
+    st = lm_score(raw, uni_t, bi_t, voc_t, alpha, text_col, id_col).select(
+        F.col(id_col),
+        F.col("lm_bigrams").alias("_nb"),
+        F.col("lm_logprob").alias("_lp_t"),
+    )
+    sr = lm_score(raw, uni_r, bi_r, voc_r, alpha, text_col, id_col).select(
+        F.col(id_col), F.col("lm_logprob").alias("_lp_r")
+    )
+    log_w = F.round(
+        F.coalesce(
+            (F.col("_lp_t") - F.col("_lp_r")) * F.col("_nb").cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    hex13 = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 13
+    )
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.round(log_w + -F.log(-F.log(u)), 6)
+    return (
+        st.join(sr, id_col)
+        .select(
+            F.col(id_col),
+            log_w.alias("dsir_log_w"),
+            key.alias("dsir_key"),
+        )
+        .orderBy(F.col("dsir_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _fingerprint_blocks(text_col: Column) -> Column:
     # lambda-bind the normalized text (see word_shingles): a free
     # expression in the lambda body would re-run the normalization regex
@@ -822,4 +895,52 @@ def duplicate_spans(
             F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_spans"),
         )
         .withColumn("dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination (Brown et al. 2020 GPT-3 appendix C; The
+    Pile, Gao et al. 2021 §6.3): flag every training document that shares
+    at least one word n-gram with a held-out BENCHMARK corpus, so
+    evaluation data can be scrubbed from the training set before
+    training rather than explained away after.
+
+    Returns one row per input doc: ``(id, contaminated_ngrams,
+    contaminated)`` — the count of the doc's DISTINCT n-grams that occur
+    anywhere in the benchmark, and the boolean a filter would key on.
+    GPT-3 used 13-gram overlap; the default 8 suits this corpus' shorter
+    documents — pass n=13 for the paper-exact discipline.
+
+    Scale shape: both sides explode to per-doc-distinct n-gram hashes
+    map-side (the 8-byte xxhash64 shuffles, never gram text — same
+    discipline as :func:`duplicate_spans`); the benchmark side collapses
+    to a distinct hash set, which is orders smaller than the corpus and
+    broadcasts (*broadcast_benchmark*, the GPT-3 case: benchmarks are
+    MBs, corpora TBs) so the corpus side joins WITHOUT a shuffle; flags
+    then aggregate per doc. Clean docs keep a row via the final
+    left join (contaminated_ngrams = 0)."""
+    dg = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("_h"))
+    bg = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("_h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    hits = dg.join(bg, "_h").groupBy(id_col).agg(
+        F.count("*").alias("_hits")
+    )
+    return docs.select(F.col(id_col)).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_hits", F.lit(0)).cast("long").alias("contaminated_ngrams"),
+        (F.coalesce("_hits", F.lit(0)) > 0).alias("contaminated"),
     )

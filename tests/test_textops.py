@@ -364,3 +364,70 @@ def test_repetition_metrics_match_python(spark):
     assert got[11]["dup5gram_char_frac"] > 0.5
     assert got[12]["dup5gram_char_frac"] == 0.0
     assert got[14]["word_rep_frac"] == 0.0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR importance resampling: raw corpus = 40 'database' docs + 40
+    'cooking' docs; target = 6 fresh cooking docs. The selected half must
+    be overwhelmingly cooking (importance weights dominate the Gumbel
+    noise), deterministic across calls, and exactly k rows."""
+    from frontier_engine.textops import dsir_select
+
+    cook = "recipe oven butter flour sugar bake whisk dough salt pan stir mix"
+    db = "query index join table scan shuffle partition column row filter sort merge"
+
+    def mk(i, base, extra):
+        ws = base.split()
+        return (i, " ".join(ws[i % 3 :] + ws[: i % 3]) + f" {extra}{i % 7}")
+
+    raw_rows = [mk(i, db, "sys") for i in range(40)] + [
+        mk(100 + i, cook, "dish") for i in range(40)
+    ]
+    tgt_rows = [mk(1000 + i, cook, "meal") for i in range(6)]
+    raw = spark.createDataFrame(pd.DataFrame(raw_rows, columns=["doc_id", "text"]))
+    tgt = spark.createDataFrame(pd.DataFrame(tgt_rows, columns=["doc_id", "text"]))
+
+    out1 = dsir_select(raw, tgt, k=20).collect()
+    assert len(out1) == 20
+    cooking_hits = sum(1 for r in out1 if r.doc_id >= 100)
+    assert cooking_hits >= 18, [r.doc_id for r in out1]
+    # deterministic: same seed → identical set and keys
+    out2 = dsir_select(raw, tgt, k=20).collect()
+    assert [(r.doc_id, r.dsir_key) for r in out1] == [
+        (r.doc_id, r.dsir_key) for r in out2
+    ]
+    # a different seed reshuffles the Gumbel noise but keeps the
+    # target-domain preference
+    out3 = dsir_select(raw, tgt, k=20, seed=99).collect()
+    assert sum(1 for r in out3 if r.doc_id >= 100) >= 18
+    # weights: every selected cooking doc outweighs every database doc
+    w = {r.doc_id: r.dsir_log_w for r in out1}
+    if any(d < 100 for d in w) and any(d >= 100 for d in w):
+        assert min(v for d, v in w.items() if d >= 100) > max(
+            v for d, v in w.items() if d < 100
+        )
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Planted contamination: doc 1 embeds a benchmark 8-gram verbatim,
+    doc 2 is clean, doc 3 shares only a 7-gram (below n=8 → clean),
+    doc 4 IS a benchmark doc (full self-overlap)."""
+    from frontier_engine.textops import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seven = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"intro words then {bench_text} trailing text"),
+        (2, "totally unrelated content about query engines and shuffles"),
+        (3, f"prefix {seven} different suffix entirely here"),
+        (4, bench_text),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bmk = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r.doc_id: (r.contaminated_ngrams, r.contaminated)
+           for r in decontaminate(docs, bmk, n=8).collect()}
+    assert out[1][1] and out[1][0] == 3  # 10-word bench text → 3 shared 8-grams
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4][1] and out[4][0] == 3
+    assert len(out) == 4  # clean docs keep their row
