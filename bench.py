@@ -270,6 +270,9 @@ def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
       parse_text   html bytes → plaintext (the Arrow UDF) → batch docs
       exact_dedup  first-seen-wins on xxhash64(text)
       minhash_join batch bands ⋈ persisted corpus bands → near-dup drop
+      quality      Gopher repetition + quality gates + GPT-3-style
+                   benchmark decontamination (r4: the filter family a
+                   real ingest applies between dedup and sampling)
       sample       lang_id + salted stratified quota sampling
 
     Stages hand off via parquet on /dev/shm (same discipline as
@@ -352,8 +355,39 @@ def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
 
     stage("minhash_join", minhash_join)
 
-    def sample():
+    def quality():
+        from frontier_engine.textops import (
+            decontaminate, quality_score, repetition_metrics,
+        )
+
         surv = spark.read.parquet(os.path.join(work, "survivors"))
+        # the gate keys on word_rep_frac only → n=1 explode (the full
+        # 6-n family over full-page texts is ~6 corpus explodes — the
+        # driver's text_metrics row times that; the gate doesn't need it)
+        rep = repetition_metrics(surv, top_ns=(), dup_ns=()).select(
+            "doc_id", "word_rep_frac"
+        )
+        qs = quality_score(surv).select("doc_id", "passes_quality")
+        bmk = corpus.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+        dec = decontaminate(surv, bmk, n=8).select("doc_id", "contaminated")
+        (
+            surv.join(rep, "doc_id")
+            .join(qs, "doc_id")
+            .join(dec, "doc_id")
+            .where(
+                F.col("passes_quality")
+                & ~F.col("contaminated")
+                & (F.col("word_rep_frac") < 0.9)
+            )
+            .select("doc_id", "text")
+            .write.mode("overwrite")
+            .parquet(os.path.join(work, "kept"))
+        )
+
+    stage("quality", quality)
+
+    def sample():
+        surv = spark.read.parquet(os.path.join(work, "kept"))
         labeled = lang_id(surv).select("doc_id", "pred_lang")
         quotas = {"en": 5000, "und": 5000, "es": 1000, "fr": 1000, "de": 1000}
         # sampling selects IDs; consumers join text back by doc_id
@@ -362,7 +396,9 @@ def ingest_round_bench(spark, sf_dir: str, pages) -> dict:
     stage("sample", sample)
 
     n_docs = spark.read.parquet(os.path.join(work, "batch_docs")).count()
-    round_stages = ["fetch_join", "parse_text", "exact_dedup", "minhash_join", "sample"]
+    round_stages = [
+        "fetch_join", "parse_text", "exact_dedup", "minhash_join", "quality", "sample",
+    ]
     out["t_round"] = round(sum(out[s] for s in round_stages), 2)
     out["docs"] = n_docs
     out["docs_per_sec"] = round(n_docs / out["t_round"], 1) if out["t_round"] else None
