@@ -907,6 +907,105 @@ def q_centroid_topk(spark, sf_dir):
     )
 
 
+def q_media_near_dup(spark, sf_dir):
+    """CONSOLIDATED correctness row covering BOTH perceptual near-dup
+    media (image dHash over real PNG decode, audio fingerprint over real
+    WAV decode — the same banded-Hamming engine fed by different codecs),
+    tagged by `medium`. Each medium's golden-hash oracle equality stays a
+    separate set of hash-checked rows (see q_text_metrics for why
+    consolidated)."""
+    img = q_phash_near_dup(spark, sf_dir).withColumn("medium", F.lit("image"))
+    aud = q_audio_near_dup(spark, sf_dir).withColumn("medium", F.lit("audio"))
+    return img.unionByName(aud)
+
+
+def q_semantic_dedup_family(spark, sf_dir):
+    """CONSOLIDATED correctness row covering BOTH faces of SemDeDup —
+    the one-shot corpus sweep (similarity.semantic_dedup) and the
+    incremental batch-vs-corpus ingest join (semantic_dedup_join, never
+    corpus x corpus) — tagged by `mode`. Same output schema
+    (vec_id, cluster, kept), same planted-copy discipline; each mode's
+    oracle equality stays a separate set of hash-checked rows (see
+    q_text_metrics for why consolidated)."""
+    c = q_semantic_dedup(spark, sf_dir).withColumn("mode", F.lit("corpus"))
+    i = q_semantic_dedup_join(spark, sf_dir).withColumn("mode", F.lit("ingest"))
+    return c.unionByName(i)
+
+
+def q_pii_clean(spark, sf_dir):
+    """CONSOLIDATED webtext-cleaning row (r4): PII redaction (Dolma /
+    BigCode discipline) -> C4 line filtering (Raffel et al. 2020 §2.2) ->
+    corpus-level repeated-line dedup (CCNet §3.1 / RefinedWeb §3.4),
+    chained in pipeline order over a SQL-reproducibly planted multi-line
+    corpus (the synthetic documents carry no newlines or PII, so the
+    query plants: a per-doc unique article line, an email+phone contact
+    line on doc_id%5, a javascript line on %3, a 1-word line on %2, an
+    IP line on %7, a copyright footer on %4). The stages interlock: the
+    IP/contact lines become IDENTICAL across docs only AFTER redaction,
+    so the line-dedup stage must see the redacted text to drop them —
+    the oracle recomputes the full chain.
+
+    Scale shape: redaction + line filter are pure JVM row expressions
+    (zero shuffles); line dedup shuffles 8-byte line hashes once with
+    map-side partial agg, anti-joins a tiny boilerplate set (AQE
+    broadcast), and reassembles with ONE shuffle on doc_id — no window,
+    no SinglePartition (plan-guarded in tests/test_plans.py)."""
+    from frontier_engine.textops import (
+        c4_line_filter, pii_redact, repeated_line_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    lines = F.array_compact(
+        F.array(
+            F.concat(F.col("text"), F.lit(" end of article.")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit("Contact user"), did.cast("string"),
+                    F.lit("@example.com or call +1-555-0199 right now."),
+                ),
+            ),
+            F.when(did % 3 == 0, F.lit("Enable JavaScript to enjoy this site.")),
+            F.when(did % 2 == 0, F.lit("Share.")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit("Served from 10.0."), (did % 200).cast("string"),
+                    F.lit(".1 node today."),
+                ),
+            ),
+            F.when(did % 4 == 0, F.lit("All rights reserved worldwide.")),
+        )
+    )
+    planted = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    pii = pii_redact(planted)
+    c4 = c4_line_filter(pii.select("doc_id", F.col("clean_text").alias("text")))
+    rl = repeated_line_dedup(
+        c4.select("doc_id", F.col("c4_text").alias("text")), min_docs=3
+    ).select(
+        "doc_id",
+        F.col("dedup_text").alias("final_text"),
+        F.col("lines_dropped").alias("boiler_dropped"),
+    )
+    return pii.join(c4, "doc_id").join(rl, "doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (textops.pack_sequences, r4): the
+    corpus' whitespace tokens laid end-to-end in doc_id order and cut
+    into 64-token training sequences; output is the (seq_id, doc_id,
+    tok_start, n_toks) assignment table a training loader gathers from.
+    The oracle recomputes the same global prefix-sum with a SQL window —
+    the engine's range-partitioned two-phase cumsum (driver sees n_parts
+    totals, never rows; no SinglePartition exchange, plan-guarded) must
+    produce the identical assignment at any parallelism."""
+    from frontier_engine.textops import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, seq_len=64)
+
+
 # ===========================================================================
 # parse/assemble/pipeline family over the committed crawl-world fixture
 # (P4-P9, P16, F1-F8, J3/A1/A2, S4/O4 — the flagship extraction path,
@@ -1346,11 +1445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "seen_bloom": q_seen_bloom,
         "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_join": q_semantic_dedup_join,
-        "phash_near_dup": q_phash_near_dup,
-        "audio_near_dup": q_audio_near_dup,
+        # consolidated (r4, second wave): semantic_dedup = corpus sweep +
+        # ingest join (mode column); media_near_dup = image phash + audio
+        # fingerprint (medium column) — frees the two sweep slots the new
+        # cleaning/packing rows below occupy
+        "semantic_dedup": q_semantic_dedup_family,
+        "media_near_dup": q_media_near_dup,
         "centroid_topk": q_centroid_topk,
+        # webtext cleaning + packing (r4)
+        "pii_clean": q_pii_clean,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2389,7 +2493,11 @@ def _oracle_sql_build() -> dict[str, str]:
               FROM uni a, uni b WHERE a.vec_id < b.vec_id
             ) WHERE cos >= 0.9
         """,
+        # consolidated (r4): one-shot corpus sweep + incremental ingest
+        # join, tagged by mode — schemas identical, each mode's rows
+        # hash-checked separately inside the union
         "semantic_dedup": """
+            SELECT 'corpus' AS mode, * FROM (
             WITH uni AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               UNION ALL
@@ -2413,26 +2521,9 @@ def _oracle_sql_build() -> dict[str, str]:
             SELECT s.vec_id, s.cluster,
                    (d.vec_id IS NULL) AS kept
             FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
-        """,
-        "phash_near_dup": f"""
-            WITH g AS (
-              SELECT media_id, golden_phash FROM read_parquet('{_FIXTURE_PHASH}')
             )
-            SELECT a.media_id AS id_a, b.media_id AS id_b,
-                   CAST(bit_count(xor(a.golden_phash, b.golden_phash)) AS BIGINT) AS hamming
-            FROM g a JOIN g b ON a.media_id < b.media_id
-            WHERE bit_count(xor(a.golden_phash, b.golden_phash)) <= 3
-        """,
-        "audio_near_dup": f"""
-            WITH g AS (
-              SELECT media_id, golden_fp FROM read_parquet('{_FIXTURE_AUDIO}')
-            )
-            SELECT a.media_id AS id_a, b.media_id AS id_b,
-                   CAST(bit_count(xor(a.golden_fp, b.golden_fp)) AS BIGINT) AS hamming
-            FROM g a JOIN g b ON a.media_id < b.media_id
-            WHERE bit_count(xor(a.golden_fp, b.golden_fp)) <= 3
-        """,
-        "semantic_dedup_join": """
+            UNION ALL
+            SELECT 'ingest' AS mode, * FROM (
             WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             batch AS (
               SELECT vec_id + 200000 AS vec_id, embedding::DOUBLE[] AS v
@@ -2462,6 +2553,31 @@ def _oracle_sql_build() -> dict[str, str]:
             )
             SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
             FROM ba s LEFT JOIN dups d ON s.vec_id = d.vec_id
+            )
+        """,
+        # consolidated (r4): image + audio perceptual near-dup, tagged by
+        # medium — both oracles recompute the full <=3-Hamming pair set
+        # from their fixture's independently-computed golden hash column
+        "media_near_dup": f"""
+            SELECT 'image' AS medium, * FROM (
+            WITH g AS (
+              SELECT media_id, golden_phash FROM read_parquet('{_FIXTURE_PHASH}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.golden_phash, b.golden_phash)) AS BIGINT) AS hamming
+            FROM g a JOIN g b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.golden_phash, b.golden_phash)) <= 3
+            )
+            UNION ALL
+            SELECT 'audio' AS medium, * FROM (
+            WITH g AS (
+              SELECT media_id, golden_fp FROM read_parquet('{_FIXTURE_AUDIO}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.golden_fp, b.golden_fp)) AS BIGINT) AS hamming
+            FROM g a JOIN g b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.golden_fp, b.golden_fp)) <= 3
+            )
         """,
         "centroid_topk": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2479,6 +2595,96 @@ def _oracle_sql_build() -> dict[str, str]:
                      row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        # webtext cleaning chain (r4): plant -> PII redact -> C4 line
+        # filter -> corpus repeated-line dedup, the full pipeline
+        # recomputed in DuckDB (RE2 regexes chosen for dialect parity
+        # with Java regex — see textops.PII_*_RE)
+        "pii_clean": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     array_to_string(list_filter([
+                       text || ' end of article.',
+                       CASE WHEN doc_id % 5 = 0 THEN 'Contact user' || doc_id || '@example.com or call +1-555-0199 right now.' END,
+                       CASE WHEN doc_id % 3 = 0 THEN 'Enable JavaScript to enjoy this site.' END,
+                       CASE WHEN doc_id % 2 = 0 THEN 'Share.' END,
+                       CASE WHEN doc_id % 7 = 0 THEN 'Served from 10.0.' || (doc_id % 200) || '.1 node today.' END,
+                       CASE WHEN doc_id % 4 = 0 THEN 'All rights reserved worldwide.' END
+                     ], x -> x IS NOT NULL), chr(10)) AS text
+              FROM documents
+            ),
+            pii AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean_text,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4}'))::BIGINT AS n_phones
+              FROM planted
+            ),
+            c4 AS (
+              SELECT doc_id, clean_text, n_emails, n_ips, n_phones,
+                array_to_string(kept, chr(10)) AS c4_text,
+                len(kept)::BIGINT AS lines_kept,
+                len(all_lines)::BIGINT AS lines_total,
+                ((NOT (contains(lower(clean_text), 'lorem ipsum') OR contains(lower(clean_text), '{')))
+                   AND len(kept) >= 1) AS doc_kept
+              FROM (
+                SELECT *, string_split(clean_text, chr(10)) AS all_lines,
+                  list_filter(string_split(clean_text, chr(10)),
+                    x -> regexp_matches(x, '[.!?"]$')
+                         AND len(string_split(trim(x), ' ')) >= 3
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(lower(x), 'cookie policy')
+                         AND NOT contains(lower(x), 'privacy policy')) AS kept
+                FROM pii) t
+            ),
+            ex AS (
+              SELECT doc_id, i AS line_idx, lines[i+1] AS line
+              FROM (SELECT doc_id, string_split(c4_text, chr(10)) AS lines FROM c4) t,
+                   (SELECT unnest(range(0, 16)) AS i)
+              WHERE i < len(lines)
+            ),
+            boiler AS (SELECT line FROM ex GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+            keptl AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM boiler)),
+            rl AS (
+              SELECT c.doc_id, COALESCE(sa.txt, '') AS final_text,
+                     (len(string_split(c.c4_text, chr(10))) - COALESCE(sa.n, 0))::BIGINT AS boiler_dropped
+              FROM c4 c LEFT JOIN (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS txt, COUNT(*) AS n
+                FROM keptl GROUP BY doc_id) sa USING (doc_id)
+            )
+            SELECT p.doc_id, p.clean_text, p.n_emails, p.n_ips, p.n_phones,
+                   c.c4_text, c.lines_kept, c.lines_total, c.doc_kept,
+                   r.final_text, r.boiler_dropped
+            FROM pii p JOIN c4 c USING (doc_id) JOIN rl r USING (doc_id)
+        """,
+        # sequence packing (r4): the engine's distributed two-phase
+        # prefix-sum must equal the single SQL window's global cumsum
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS t FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, t,
+                     (SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - t)::BIGINT AS s_off
+              FROM toks
+            ),
+            spans AS (
+              SELECT doc_id, s_off, t, (s_off // 64) AS first_seq, ((s_off + t - 1) // 64) AS last_seq
+              FROM cum
+            ),
+            ex AS (
+              SELECT doc_id, s_off, t, first_seq + i AS seq_id
+              FROM spans, (SELECT unnest(range(0, 16)) AS i)
+              WHERE first_seq + i <= last_seq
+            )
+            SELECT seq_id::BIGINT AS seq_id, doc_id,
+                   GREATEST(0, seq_id*64 - s_off)::BIGINT AS tok_start,
+                   (LEAST((seq_id+1)*64, s_off + t) - GREATEST(seq_id*64, s_off))::BIGINT AS n_toks
+            FROM ex
         """,
     }
 

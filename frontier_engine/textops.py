@@ -944,3 +944,257 @@ def decontaminate(
         F.coalesce("_hits", F.lit(0)).cast("long").alias("contaminated_ngrams"),
         (F.coalesce("_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# webtext cleaning + packing (r4): PII redaction, C4 line filtering,
+# corpus-level repeated-line dedup, GPT-style sequence packing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax BOTH Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: character classes, bounded
+# repetition, \b ASCII word boundaries, non-capturing groups — no
+# lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub in the Dolma (Soldaini et al. 2024 §4.1) / BigCode
+    (Allal et al. 2023) discipline: replace emails, IPv4 addresses and
+    phone numbers with typed mask tokens and count what was masked (the
+    counts feed audit dashboards; a doc whose mask density explodes is
+    usually a credential dump, not prose).
+
+    Scale shape: three ``regexp_replace`` + three ``regexp_count``
+    expressions — pure JVM whole-stage codegen, zero shuffles, zero
+    Python. Order matters and is fixed (emails, then IPs, then phones)
+    so a host like ``user@1.2.3.4`` degrades deterministically."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        red.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_LINE_BLOCKLIST = ("javascript", "cookie policy", "privacy policy")
+C4_DOC_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as array expressions:
+    keep only lines that end in terminal punctuation, carry >= *min_words*
+    words, and avoid the line blocklist (``javascript`` + policy
+    boilerplate); flag docs containing the doc blocklist (``lorem ipsum``,
+    ``{``) or ending with fewer than *min_lines* surviving lines.
+
+    Scale shape: ``split`` -> higher-order ``filter`` -> ``array_join``,
+    all JVM array expressions evaluated per row — zero shuffles, zero
+    Python, no explode (the line array never leaves the row)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(s: Column) -> Column:
+        cond = s.rlike(C4_TERMINAL_RE) & (
+            F.size(F.split(F.trim(s), " ")) >= min_words
+        )
+        for b in C4_LINE_BLOCKLIST:
+            cond = cond & (F.locate(b, F.lower(s)) == 0)
+        return cond
+
+    kept = F.filter(lines, _keep)
+    low = F.lower(F.col(text_col))
+    flagged = sum(
+        ((F.locate(b, low) > 0).cast("int") for b in C4_DOC_BLOCKLIST),
+        F.lit(0),
+    ) > 0
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("c4_text"),
+        F.size(kept).cast("long").alias("lines_kept"),
+        F.size(lines).cast("long").alias("lines_total"),
+        (~flagged & (F.size(kept) >= min_lines)).alias("doc_kept"),
+    )
+
+
+def repeated_line_dedup(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (CCNet, Wenzek et al. 2020
+    §3.1 line dedup; RefinedWeb, Penedo et al. 2023 §3.4): a line that
+    occurs in >= *min_docs* DISTINCT documents is boilerplate (nav bars,
+    cookie banners, copyright footers) and is dropped from EVERY document.
+    Order-free and deterministic — no keep-first tie to ingestion order,
+    so the result is identical at any parallelism and under re-sharding.
+
+    Scale shape: lines shuffle once as 8-byte ``xxhash64`` keys with
+    map-side partial aggregation (the line TEXT never shuffles for the
+    count); the boilerplate set (lines with document frequency >=
+    min_docs) is orders smaller than the corpus, so AQE broadcasts the
+    anti-join side; reassembly is one shuffle on *id_col* with
+    ``collect_list`` -> ``array_sort`` (line order restored by index,
+    NOT by a window). Docs whose every line is boilerplate keep a row
+    with empty text via the final left join."""
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+    boiler = (
+        ex.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    kept = ex.join(boiler, "_h", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("dedup_text"),
+        F.count("*").alias("_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("lines_total"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        (F.col("lines_total") - F.coalesce("_kept", F.lit(0))).cast("long").alias(
+            "lines_dropped"
+        ),
+        F.col("lines_total"),
+    )
+
+
+def pack_sequences_counted(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """GPT-style concat-and-chunk sequence packing (Brown et al. 2020
+    §2.2 pack-to-context; T5's denoiser batching): lay every document's
+    whitespace tokens end-to-end in *id_col* order and cut the stream
+    into fixed *seq_len* windows. Emits the ASSIGNMENT table —
+    ``(seq_id, doc_id, tok_start, n_toks)``, one row per (sequence,
+    document-slice) with ``tok_start`` 0-based within the doc — which is
+    what a training loader actually needs (it gathers the token slices;
+    materializing concatenated text would be pure write amplification).
+    A document longer than *seq_len* spans multiple sequences; every
+    sequence holds exactly *seq_len* tokens except the last.
+
+    Scale shape — the distributed prefix-sum, same discipline as
+    ``schedule.assign_discovered_seq``: range-partition by *id_col*,
+    per-partition token totals to the driver (``n_parts`` rows, never
+    data), partition start offsets broadcast back as a literal map, then
+    a WITHIN-partition cumsum window keyed on the physical partition id —
+    no SinglePartition exchange anywhere (plan-guarded). The one
+    exchange after the range partition carries three long columns per
+    doc, never text. Returns ``(assignments, persisted_handle)``; the
+    caller must ``handle.unpersist()`` after materializing (the offsets
+    were computed against the PERSISTED range partitioning — a recompute
+    could re-sample RangePartitioner boundaries and shift every seq)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("_toks"),
+    )
+    ranged = (
+        toks.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_tot = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum("_toks").alias("t")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in sorted(part_tot):
+        offs[pid] = acc
+        acc += int(part_tot[pid])
+    if offs:
+        kv = []
+        for pid, off in offs.items():
+            kv += [F.lit(int(pid)), F.lit(int(off))]
+        off_expr = F.coalesce(
+            F.try_element_at(F.create_map(*kv), F.col("_pid")), F.lit(0)
+        ).cast("long")
+    else:
+        off_expr = F.lit(0).cast("long")
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    s = F.lit(int(seq_len)).cast("long")
+    cum = (
+        ranged.withColumn("_end", F.sum("_toks").over(w))
+        .withColumn("_start", off_expr + F.col("_end") - F.col("_toks"))
+    )
+    out = cum.select(
+        F.col(id_col),
+        "_start",
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / s),
+                F.floor((F.col("_start") + F.col("_toks") - F.lit(1)) / s),
+            )
+        ).alias("seq_id"),
+    ).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        F.greatest(F.lit(0).cast("long"), F.col("seq_id") * s - F.col("_start"))
+        .cast("long")
+        .alias("tok_start"),
+        (
+            F.least((F.col("seq_id") + 1) * s, F.col("_start") + F.col("_toks"))
+            - F.greatest(F.col("seq_id") * s, F.col("_start"))
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return out, ranged
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """One-shot convenience over :func:`pack_sequences_counted` — eagerly
+    ``localCheckpoint``s the assignment table so the range partitioning
+    cannot be re-sampled, then releases the persisted input. Same
+    retention caveat as ``schedule.assign_discovered_seq``: the
+    checkpointed blocks stay pinned until the result is garbage
+    collected; loop callers should use the ``_counted`` variant and
+    manage the handle themselves."""
+    out, handle = pack_sequences_counted(docs, seq_len, text_col, id_col, n_parts)
+    out = out.localCheckpoint(eager=True)
+    handle.unpersist()
+    return out

@@ -210,3 +210,52 @@ def test_repetition_metrics_shuffles_hashes_not_gram_text(spark):
     # two aggregation layers, each with a partial (map-side) half:
     # (doc,n,h) count then per-doc metrics — 4 HashAggregate nodes
     assert p.count("HashAggregate") == 4, p
+
+
+def test_pii_clean_chain_pure_jvm_no_single_partition(spark):
+    """r4 guard: the cleaning chain (PII redact -> C4 line filter ->
+    repeated-line dedup) must stay pure-JVM (no Python eval nodes), keep
+    line-hash aggregation partial (map-side) and never funnel through a
+    SinglePartition exchange."""
+    from frontier_engine.textops import (
+        c4_line_filter, pii_redact, repeated_line_dedup,
+    )
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Document body number "), F.col("id"),
+            F.lit(" with a mail to u"), F.col("id"),
+            F.lit("@example.com here.\nEnable JavaScript now.\nShare.\nAll rights reserved worldwide."),
+        ).alias("text"),
+    )
+    pii = pii_redact(docs)
+    c4 = c4_line_filter(pii.select("doc_id", F.col("clean_text").alias("text")))
+    out = repeated_line_dedup(
+        c4.select("doc_id", F.col("c4_text").alias("text")), min_docs=3
+    )
+    p = _plan(out)
+    assert "SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+    # redact + filter stages collapse into the scan's projection
+    # (no exchange before the posexplode)
+    assert p.count("Window") == 0, p
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """r4 guard: sequence packing's cumsum must ride the range
+    partitioning (window keyed on the physical partition id) — a global
+    orderBy window would read Window ... SinglePartition and serialize
+    the corpus through one task."""
+    from frontier_engine.textops import pack_sequences_counted
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id"), F.lit(" tok tok tok")).alias("text"),
+    )
+    out, handle = pack_sequences_counted(docs, seq_len=2048, n_parts=8)
+    p = _plan(out)
+    handle.unpersist()
+    assert "SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

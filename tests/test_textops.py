@@ -431,3 +431,111 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[3] == (0, False)
     assert out[4][1] and out[4][0] == 3
     assert len(out) == 4  # clean docs keep their row
+
+
+# ---------------------------------------------------------------------------
+# webtext cleaning + packing (r4)
+# ---------------------------------------------------------------------------
+
+CLEAN_DOCS = [
+    (0, "See my notes at alice@example.com and 10.0.3.1 or +1-555-0199 soon.\n"
+        "Enable JavaScript to view.\nShare.\nThe quick brown fox jumps here."),
+    (1, "no pii here at all\nEnable JavaScript to view.\n"
+        "All rights reserved worldwide."),
+    (2, "Enable JavaScript to view.\nAll rights reserved worldwide.\n"
+        "Genuine unique sentence number two."),
+    (3, "All rights reserved worldwide.\nAnother genuine line stays put."),
+    (4, "Write bob@mail.test.org twice bob@mail.test.org and 192.168.0.1.\n"
+        "This doc has lorem ipsum inside."),
+]
+
+
+@pytest.fixture(scope="module")
+def clean_docs(spark):
+    return spark.createDataFrame(pd.DataFrame(CLEAN_DOCS, columns=["doc_id", "text"]))
+
+
+def test_pii_redact_masks_and_counts(clean_docs):
+    import re
+
+    out = {r.doc_id: r for r in X.pii_redact(clean_docs).collect()}
+    assert out[0].n_emails == 1 and out[0].n_ips == 1 and out[0].n_phones == 1
+    assert "<EMAIL>" in out[0].clean_text and "<IP>" in out[0].clean_text
+    assert "alice@example.com" not in out[0].clean_text
+    assert out[4].n_emails == 2 and out[4].n_ips == 1
+    assert out[1].clean_text == CLEAN_DOCS[1][1]  # untouched when no PII
+    # python-twin parity on every doc
+    for doc_id, text in CLEAN_DOCS:
+        t = re.sub(X.PII_EMAIL_RE, "<EMAIL>", text)
+        t = re.sub(X.PII_IP_RE, "<IP>", t)
+        t = re.sub(X.PII_PHONE_RE, "<PHONE>", t)
+        assert out[doc_id].clean_text == t
+
+
+def test_c4_line_filter_rules(clean_docs):
+    out = {r.doc_id: r for r in X.c4_line_filter(clean_docs).collect()}
+    # doc 0: javascript line + 1-word "Share." dropped, 2 survive
+    assert out[0].lines_kept == 2 and out[0].lines_total == 4
+    assert "JavaScript" not in out[0].c4_text and "Share." not in out[0].c4_text
+    # doc 1: unterminated line + javascript line dropped
+    assert out[1].c4_text == "All rights reserved worldwide."
+    # doc 4: 'lorem ipsum' flags the whole doc
+    assert out[4].doc_kept is False
+    assert all(out[i].doc_kept for i in (0, 1, 2, 3))
+
+
+def test_repeated_line_dedup_drops_corpus_boilerplate(clean_docs):
+    out = {r.doc_id: r for r in X.repeated_line_dedup(clean_docs, min_docs=3).collect()}
+    # 'Enable JavaScript to view.' (docs 0,1,2) and 'All rights reserved
+    # worldwide.' (docs 1,2,3) hit min_docs=3 and vanish everywhere
+    for r in out.values():
+        assert "Enable JavaScript" not in r.dedup_text
+        assert "All rights reserved" not in r.dedup_text
+    # line order within the doc is preserved
+    assert out[0].dedup_text.split("\n")[0].startswith("See my notes")
+    assert out[0].dedup_text.split("\n")[-1] == "The quick brown fox jumps here."
+    assert out[1].lines_dropped == 2 and out[1].lines_total == 3
+    # a doc that loses every line keeps a row with empty text
+    only_boiler = clean_docs.sparkSession.createDataFrame(
+        pd.DataFrame(
+            CLEAN_DOCS + [(9, "Enable JavaScript to view.")],
+            columns=["doc_id", "text"],
+        )
+    )
+    r9 = {r.doc_id: r for r in X.repeated_line_dedup(only_boiler, min_docs=3).collect()}[9]
+    assert r9.dedup_text == "" and r9.lines_dropped == 1
+
+
+def test_pack_sequences_invariants(spark, clean_docs):
+    S = 16
+    packed = X.pack_sequences(clean_docs, seq_len=S).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in clean_docs.select(
+            "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+        ).collect()
+    }
+    total = sum(toks.values())
+    # tokens conserved, every doc fully covered by contiguous slices
+    assert sum(r.n_toks for r in packed) == total
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.tok_start)
+        assert rows[0].tok_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.tok_start + a.n_toks == b.tok_start
+            assert b.seq_id == a.seq_id + 1  # doc slices land in adjacent seqs
+        assert rows[-1].tok_start + rows[-1].n_toks == toks[d]
+    # every sequence holds exactly S tokens except the last
+    by_seq = {}
+    for r in packed:
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_toks
+    last = max(by_seq)
+    for s, n in by_seq.items():
+        assert n == S or (s == last and n == total - last * S)
+    # deterministic at any parallelism: 1-partition result is identical
+    packed1 = X.pack_sequences(clean_docs.repartition(1), seq_len=S, n_parts=1).collect()
+    key = lambda r: (r.seq_id, r.doc_id, r.tok_start, r.n_toks)
+    assert sorted(map(key, packed)) == sorted(map(key, packed1))
