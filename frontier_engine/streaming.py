@@ -753,3 +753,127 @@ def run_crawl_stream(
         "seen_exact": seen_store.as_df(),
         "frontier": st["fstate"].view() if st["fstate"] else None,
     }
+
+
+def document_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    apply_c4: bool = False,
+    min_words: int = 3,
+    min_lines: int = 1,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous training-data ingestion (late r4): a ``readStream``
+    of document files with ``foreachBatch`` running the SAME cleaning +
+    dedup discipline as the batch ingest round — PII redaction →
+    (optional) C4 line filter gate → within-batch exact dedup
+    (first-seen = lowest id per text hash) → MinHash near-dup join
+    against the PERSISTED corpus band table → append the survivors to
+    the corpus AND their band rows to the band table. Per-micro-batch
+    cost is O(batch + collisions), independent of corpus size — the
+    growing corpus is touched only through its (band, bucket) index and
+    the candidate-bounded exact-verify semi-join. Exact cross-batch
+    duplicates need no separate structure: identical text ⇒ identical
+    bands ⇒ a jaccard-1.0 candidate the verify drops.
+
+    Exactly-once without Iceberg (same discipline as
+    :func:`frontier_ingest_stream`): both state tables are partitioned
+    by ``batch_id`` and written with dynamic partition overwrite, and a
+    micro-batch reads the corpus/bands WITHOUT its own partition
+    (``batch_id != this``) — so a replayed batch recomputes against
+    exactly the pre-batch state and overwrites its own files instead of
+    duplicating or self-matching. Corpus-level ops that need GLOBAL
+    state (repeated-line dedup, stratified sampling) are compaction- /
+    export-time jobs over ``<root>/corpus``, not per-ingest work.
+
+    Caller contract: doc ids are globally unique across the stream
+    (same as MERGE keys). Returns the started StreamingQuery; state
+    lives under *root* (resumable: same root + checkpoint)."""
+    import os
+
+    from frontier_engine.textops import (
+        c4_line_filter, corpus_band_table, minhash_dedup_join, pii_redact,
+    )
+
+    corpus_dir = os.path.join(root, "corpus")
+    bands_dir = os.path.join(root, "bands")
+
+    def _nonempty(path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        return any(
+            f == "_SUCCESS" or f.startswith("batch_id=") for f in os.listdir(path)
+        )
+
+    schema = f"{id_col} long, {text_col} string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        red = pii_redact(batch_df, text_col, id_col).select(
+            id_col,
+            F.col("clean_text").alias(text_col),
+            "n_emails", "n_ips", "n_phones",
+        )
+        if apply_c4:
+            gate = c4_line_filter(red, text_col, id_col, min_words, min_lines)
+            red = red.drop(text_col).join(
+                gate.where(F.col("doc_kept")).select(
+                    id_col, F.col("c4_text").alias(text_col)
+                ),
+                id_col,
+            )
+        firsts = red.groupBy(F.xxhash64(F.col(text_col)).alias("_h")).agg(
+            F.min(id_col).alias(id_col)
+        )
+        red = red.join(firsts.select(id_col), id_col).cache()
+        if _nonempty(corpus_dir):
+            corpus = spark.read.parquet(corpus_dir).where(
+                F.col("batch_id") != batch_id
+            )
+            bands = spark.read.parquet(bands_dir).where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
+            dup_ids = (
+                minhash_dedup_join(
+                    red, corpus, text_col, id_col,
+                    threshold=threshold, corpus_bands=bands,
+                )
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+            survivors = red.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = red
+        survivors = survivors.withColumn("batch_id", F.lit(batch_id)).cache()
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
+        (
+            corpus_band_table(survivors, text_col, id_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_dir)
+        )
+        survivors.unpersist()
+        red.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -383,3 +383,74 @@ def test_streaming_crawl_resume_equals_straight_through(spark, tmp_path_factory)
         {r.canon_url for r in resumed["seen_exact"].collect()}
         == {r.canon_url for r in full["seen_exact"].collect()}
     )
+
+
+def test_document_ingest_stream_dedups_and_redacts(spark, tmp_path):
+    """Continuous doc ingestion: PII is masked before storage, in-batch
+    exact dups collapse first-seen, cross-batch exact AND near dups drop
+    against the persisted band table, fresh docs append — and a resumed
+    stream processes only new files with an identical final corpus."""
+    import os
+
+    from frontier_engine.streaming import document_ingest_stream
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    # one token changed mid-document vs doc 1's REDACTED stored text
+    # (same mail suffix, masked identically) → 3-shingle jaccard ≈ .83
+    near = " ".join(
+        ("tokX" if i == 15 else f"tok{i}") for i in range(30)
+    ) + " mail me at carol@example.com please."
+    fresh = " ".join(f"other{i}" for i in range(30))
+    fresh2 = " ".join(f"late{i}" for i in range(30))
+    src = os.path.join(str(tmp_path), "docs_in")
+    os.makedirs(src)
+
+    def put(name, rows, order=[0]):
+        import glob
+        import shutil
+        import time
+
+        d = os.path.join(str(tmp_path), "stage_" + name)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (time.time() + order[0], time.time() + order[0]))
+        order[0] += 1
+
+    put("f0.parquet", [
+        (1, base + " mail me at bob@example.com please."),
+        (2, base + " mail me at bob@example.com please."),   # in-batch exact dup
+        (3, "completely unrelated seed " + fresh),
+    ])
+    put("f1.parquet", [
+        (10, base + " mail me at bob@example.com please."),  # cross-batch exact dup
+        (11, near),                                          # cross-batch NEAR dup
+        (12, "genuinely new content " + fresh2),
+    ])
+    root = os.path.join(str(tmp_path), "ingest")
+    ck = os.path.join(str(tmp_path), "ck")
+    q = document_ingest_stream(spark, src, root, ck)
+    q.awaitTermination(180)
+
+    corpus = spark.read.parquet(os.path.join(root, "corpus"))
+    got = {r.doc_id for r in corpus.collect()}
+    assert got == {1, 3, 12}, got
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    assert "<EMAIL>" in texts[1] and "bob@example.com" not in texts[1]
+    # band table covers exactly the survivors
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == got
+
+    # resume: a third file arrives; same root + checkpoint processes ONLY it
+    put("f2.parquet", [
+        (20, near),                                          # still a near dup
+        (21, "brand new " + " ".join(f"z{i}" for i in range(30))),
+    ])
+    q2 = document_ingest_stream(spark, src, root, ck)
+    q2.awaitTermination(180)
+    corpus2 = spark.read.parquet(os.path.join(root, "corpus"))
+    assert {r.doc_id for r in corpus2.collect()} == {1, 3, 12, 21}
+    # earlier partitions untouched by the resumed run (no rewrite)
+    assert {r.doc_id for r in corpus2.where("batch_id = 0").collect()} == {1, 3}
