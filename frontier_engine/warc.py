@@ -266,3 +266,96 @@ def write_warc_world(spec, out_dir: str, n_archives: int = 4) -> list[str]:
             f.write(write_warc(shard))
         paths.append(p)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# WET export (late r4): Common Crawl's text-extraction sibling format —
+# WARC "conversion" records carrying the extracted plain text
+# ---------------------------------------------------------------------------
+
+
+def write_wet(pages: list[dict], gzip_per_record: bool = True) -> bytes:
+    """Page dicts (url, ts: datetime, text: str) → WET archive bytes:
+    a warcinfo record followed by one ``conversion`` record per page
+    (WARC-Type: conversion, Content-Type: text/plain — the cc WET
+    layout), per-record gzip members by default."""
+    records = [
+        _record(
+            "warcinfo",
+            {
+                "WARC-Date": _warc_date(datetime(2020, 1, 1, tzinfo=timezone.utc)),
+                "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+                "Content-Type": "application/warc-fields",
+            },
+            b"software: frontier-engine\r\nformat: WET\r\n",
+        )
+    ]
+    for p in pages:
+        payload = p["text"].encode("utf-8", "replace")
+        rid = blake2b(b"wet:" + p["url"].encode(), digest_size=16).hexdigest()
+        records.append(
+            _record(
+                "conversion",
+                {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": _warc_date(p["ts"]),
+                    "WARC-Record-ID": f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>",
+                    "Content-Type": "text/plain",
+                },
+                payload,
+            )
+        )
+    if gzip_per_record:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def wet_archives(pages: DataFrame, records_per_archive: int = 10_000) -> DataFrame:
+    """The Spark face of WET export: pages → one serialized ``.wet.gz``
+    archive per group of *records_per_archive* pages, as rows
+    ``(archive_id, n_records, wet)`` with ``wet`` the archive bytes.
+
+    Scale shape: archive assignment is ``xxhash64(url) %
+    ceil(n/records_per_archive)`` — a deterministic hash partitioning,
+    so the output set is stable under re-execution and parallelism; one
+    shuffle groups each archive's pages onto one task, and an
+    Arrow-batched ``applyInPandas`` serializes per group (the text
+    bytes cross the boundary exactly once, as the payload they become).
+    Write the result with ``.write.parquet`` (archive blobs as a binary
+    column — the Iceberg-friendly shape) or dump each row to
+    ``<archive_id>.warc.wet.gz`` for pywb-style consumers; round-trip
+    readable by :func:`iter_warc`."""
+    spark = pages.sparkSession
+    n = pages.count()
+    n_archives = max(1, -(-n // records_per_archive))
+
+    def serialize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("url")
+            rows = [
+                {"url": r.url, "ts": r.warc_ts.to_pydatetime().replace(tzinfo=timezone.utc), "text": r.text or ""}
+                for r in pdf.itertuples()
+            ]
+            blob = write_wet(rows)
+            yield pd.DataFrame(
+                {
+                    "archive_id": [int(pdf["_aid"].iloc[0])],
+                    "n_records": [len(rows)],
+                    "wet": [blob],
+                }
+            )
+
+    assigned = pages.select(
+        "url", "warc_ts", "text",
+        (F.pmod(F.xxhash64("url"), F.lit(n_archives))).alias("_aid"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("wet", T.BinaryType()),
+        ]
+    )
+    return assigned.groupBy("_aid").applyInPandas(serialize, out_schema)

@@ -114,3 +114,41 @@ def test_read_warc_stage_prunes_to_content(spark, tmp_path):
         ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines() if "ReadSchema" in ln
     ]
     assert schemas == [" struct<content:binary>"]
+
+
+def test_wet_roundtrip_and_deterministic_archives(spark):
+    """WET export: conversion records round-trip through iter_warc with
+    exact text payloads; archive assignment is deterministic under
+    re-execution and parallelism."""
+    from datetime import datetime, timezone
+
+    from frontier_engine.warc import iter_warc, wet_archives
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h{i % 5}.example/p/{i}",
+             datetime(2026, 1, 1, tzinfo=timezone.utc),
+             f"extracted text body {i} with unicode: café")
+            for i in range(200)
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = wet_archives(pages, records_per_archive=50).collect()
+    assert sum(r.n_records for r in out) == 200
+    assert len(out) == 4  # ceil(200/50) hash-assigned archives
+    seen = {}
+    for r in out:
+        recs = list(iter_warc(bytes(r.wet)))
+        assert recs[0]["type"] == "warcinfo"
+        conv = [x for x in recs[1:]]
+        assert all(x["type"] == "conversion" for x in conv)
+        assert len(conv) == r.n_records
+        for x in conv:
+            seen[x["headers"]["WARC-Target-URI"]] = x["payload"].decode("utf-8")
+    assert len(seen) == 200
+    assert seen["https://h0.example/p/0"] == "extracted text body 0 with unicode: café"
+    # determinism: same archive ids + record counts at different parallelism
+    out2 = wet_archives(pages.repartition(13), records_per_archive=50).collect()
+    a = sorted((r.archive_id, r.n_records) for r in out)
+    b = sorted((r.archive_id, r.n_records) for r in out2)
+    assert a == b
