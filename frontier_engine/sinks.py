@@ -178,25 +178,35 @@ def merge_upsert(existing: DataFrame | None, batch: DataFrame, scrape_ts: str) -
 # Crawl cc-index shape (CDXJ / columnar index), built on plain parquet
 # ---------------------------------------------------------------------------
 
-_SURT_AUTH_RX = r"^[a-z][a-z0-9+.-]*://([^/?]*)"
-_SURT_REST_RX = r"^[a-z][a-z0-9+.-]*://[^/?]*(.*)$"
+_SURT_AUTH_RX = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
+_SURT_REST_RX = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
 def surt_expr(url: Column) -> Column:
     """SURT key (Sort-friendly URI Reordering Transform, the ordering
     key of Common Crawl's CDX index and pywb): scheme dropped, userinfo
     dropped, host lowercased and its dot-components REVERSED and
-    comma-joined, then ``)`` and the path+query, all lowercased —
-    ``https://sub.Example.com/A/b?q=1`` → ``com,example,sub)/a/b?q=1``.
-    Reversing the host makes one registrable domain's URLs (and one
-    TLD's, one org's) a CONTIGUOUS key range, so range partitioning by
-    SURT turns per-domain scans into partition-pruned range scans.
+    comma-joined, an explicit ``:port`` re-appended AFTER the reversed
+    host (pywb layout), then ``)`` and the path+query (fragment
+    dropped), all lowercased — ``https://sub.Example.com/A/b?q=1`` →
+    ``com,example,sub)/a/b?q=1``; ``http://example.com:8080/x`` →
+    ``com,example:8080)/x``. Treating host:port as one dot-split token
+    or keeping ``#frag`` in the host (ADVICE r4) made such keys sort
+    OUTSIDE their domain's contiguous range, defeating the prefix-pruned
+    lookup. Reversing the host makes one registrable domain's URLs (and
+    one TLD's, one org's) a CONTIGUOUS key range, so range partitioning
+    by SURT turns per-domain scans into partition-pruned range scans.
     Pure JVM expressions — usable in the scan projection."""
     auth = F.lower(F.regexp_extract(url, _SURT_AUTH_RX, 1))
-    host = F.regexp_replace(auth, "^[^@]*@", "")
+    hostport = F.regexp_replace(auth, "^[^@]*@", "")
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    keyed_host = F.when(port == F.lit(""), rev_host).otherwise(
+        F.concat(rev_host, F.lit(":"), port)
+    )
     rest = F.lower(F.regexp_extract(url, _SURT_REST_RX, 1))
-    return F.concat(rev_host, F.lit(")"), rest)
+    return F.concat(keyed_host, F.lit(")"), rest)
 
 
 def cdx_rows(pages: DataFrame, url_col: str = "url") -> DataFrame:
@@ -291,14 +301,18 @@ def read_cdx_prefix(spark, path: str, prefix: str) -> DataFrame:
     with open(os.path.join(path, "_cdx_boundaries.json")) as f:
         manifest = json.load(f)
     # a file overlaps iff some key in [lo, hi] starts with prefix:
-    # lo <= prefix+MAX and hi >= prefix
+    # hi >= prefix (keys with the prefix are all >= prefix) and
+    # lo <= prefix OR lo itself starts with the prefix. Sentinel-free
+    # on purpose: the old `lo <= prefix + U+FFFF` bound wrongly pruned a
+    # file whose lowest matching key continued with an astral-plane
+    # character > U+FFFF (ADVICE r4) — possible in URL paths.
     hit_files = [
         os.path.join(path, p["file"])
         for p in manifest["partitions"]
         if p["file"] is not None
         and p["lo"] is not None
-        and p["lo"] <= prefix + "￿"
         and p["hi"] >= prefix
+        and (p["lo"] <= prefix or p["lo"].startswith(prefix))
     ]
     if not hit_files:
         return spark.read.parquet(path).limit(0)

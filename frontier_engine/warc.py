@@ -324,31 +324,47 @@ def wet_archives(pages: DataFrame, records_per_archive: int = 10_000) -> DataFra
     Write the result with ``.write.parquet`` (archive blobs as a binary
     column — the Iceberg-friendly shape) or dump each row to
     ``<archive_id>.warc.wet.gz`` for pywb-style consumers; round-trip
-    readable by :func:`iter_warc`."""
-    spark = pages.sparkSession
+    readable by :func:`iter_warc`.
+
+    ``serialize`` is deliberately the ONE-DataFrame-per-group
+    grouped-map form (plain pdf→pdf signature), NOT the iterator form:
+    the iterator form yields one Arrow batch at a time
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k), and
+    serializing per batch would fragment any archive over ~10k pages
+    into multiple same-``archive_id`` rows, each with its own warcinfo —
+    the dump-to-``<archive_id>.warc.wet.gz`` pattern would then silently
+    overwrite fragments (ADVICE r4). One row out per group, always.
+
+    ``warc_ts`` crosses the Arrow boundary as epoch seconds, not a
+    timestamp: applyInPandas delivers timestamps localized to
+    ``spark.sql.session.timeZone``, so relabeling the naive value as UTC
+    would shift WARC-Date by the session-zone offset (ADVICE r4); the
+    epoch is zone-free."""
     n = pages.count()
     n_archives = max(1, -(-n // records_per_archive))
 
-    def serialize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("url")
-            rows = [
-                {"url": r.url, "ts": r.warc_ts.to_pydatetime().replace(tzinfo=timezone.utc), "text": r.text or ""}
-                for r in pdf.itertuples()
-            ]
-            blob = write_wet(rows)
-            yield pd.DataFrame(
-                {
-                    "archive_id": [int(pdf["_aid"].iloc[0])],
-                    "n_records": [len(rows)],
-                    "wet": [blob],
-                }
-            )
+    def serialize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        rows = [
+            {
+                "url": r.url,
+                "ts": datetime.fromtimestamp(int(r.ts_epoch), tz=timezone.utc),
+                "text": r.text or "",
+            }
+            for r in pdf.itertuples()
+        ]
+        blob = write_wet(rows)
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["_aid"].iloc[0])],
+                "n_records": [len(rows)],
+                "wet": [blob],
+            }
+        )
 
     assigned = pages.select(
-        "url", "warc_ts", "text",
+        "url", "text",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
         (F.pmod(F.xxhash64("url"), F.lit(n_archives))).alias("_aid"),
     )
     out_schema = T.StructType(

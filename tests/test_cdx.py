@@ -16,6 +16,9 @@ def test_surt_expr_matches_python(spark):
         "http://example.org/",
         "https://user@Host.Net/Path",
         "https://a.b.c.example.com/x/y/z?k=v&k2=v2",
+        "http://example.com:8080/x",
+        "https://example.com#frag",
+        "https://example.com/p#frag",
     ]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     out = {r.url: r.surt for r in df.select("url", surt_expr(F.col("url")).alias("surt")).collect()}
@@ -23,6 +26,11 @@ def test_surt_expr_matches_python(spark):
     assert out["http://example.org/"] == "org,example)/"
     assert out["https://user@Host.Net/Path"] == "net,host)/path"
     assert out["https://a.b.c.example.com/x/y/z?k=v&k2=v2"] == "com,example,c,b,a)/x/y/z?k=v&k2=v2"
+    # ADVICE r4: port re-appended AFTER the reversed host (pywb SURT),
+    # fragments dropped — both keys must sort inside com,example's range
+    assert out["http://example.com:8080/x"] == "com,example:8080)/x"
+    assert out["https://example.com#frag"] == "com,example)"
+    assert out["https://example.com/p#frag"] == "com,example)/p"
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +77,7 @@ def test_cdx_prefix_lookup_prunes_and_matches_full_scan(spark, cdx_world):
     # the manifest restricted the read to a strict subset of files
     overlapping = [
         p for p in manifest["partitions"]
-        if p["lo"] <= prefix + "￿" and p["hi"] >= prefix
+        if p["hi"] >= prefix and (p["lo"] <= prefix or p["lo"].startswith(prefix))
     ]
     assert 0 < len(overlapping) < len(manifest["partitions"])
     # digest/length columns carried through
@@ -80,3 +88,17 @@ def test_cdx_prefix_lookup_prunes_and_matches_full_scan(spark, cdx_world):
 def test_cdx_missing_prefix_returns_empty(spark, cdx_world):
     path, _, _ = cdx_world
     assert read_cdx_prefix(spark, path, "zz,nowhere)").count() == 0
+
+
+def test_cdx_prefix_survives_astral_plane_lowest_key(spark, tmp_path):
+    """ADVICE r4: a partition whose LOWEST matching key continues the
+    prefix with a >U+FFFF character compared greater than the old
+    `prefix + U+FFFF` upper bound and was wrongly pruned."""
+    path = str(tmp_path / "astral")
+    pages = spark.createDataFrame(
+        [(f"https://example.com/\U00010348gothic/{i}",) for i in range(5)],
+        ["url"],
+    )
+    write_cdx_index(pages, path, n_parts=1)
+    hit = read_cdx_prefix(spark, path, "com,example)/")
+    assert hit.count() == 5

@@ -152,3 +152,66 @@ def test_wet_roundtrip_and_deterministic_archives(spark):
     a = sorted((r.archive_id, r.n_records) for r in out)
     b = sorted((r.archive_id, r.n_records) for r in out2)
     assert a == b
+
+
+def test_wet_archive_larger_than_arrow_batch_is_one_row(spark):
+    """ADVICE r4 (high): a group bigger than arrow maxRecordsPerBatch
+    must still serialize to ONE archive row — the iterator-form
+    applyInPandas fragmented it into one row per Arrow batch, each with
+    its own warcinfo, which the <archive_id>.warc.wet.gz dump pattern
+    would silently overwrite."""
+    from datetime import datetime, timezone
+
+    from frontier_engine.warc import iter_warc, wet_archives
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "40")  # force >1 Arrow batch for the 130-row group
+    try:
+        pages = spark.createDataFrame(
+            [
+                (f"https://one.example/p/{i}",
+                 datetime(2026, 1, 1, tzinfo=timezone.utc), f"text {i}")
+                for i in range(130)
+            ],
+            "url string, warc_ts timestamp, text string",
+        )
+        out = wet_archives(pages, records_per_archive=1000).collect()
+        assert len(out) == 1  # ONE row, not ceil(130/40) fragments
+        assert out[0].n_records == 130
+        recs = list(iter_warc(bytes(out[0].wet)))
+        assert [r["type"] for r in recs].count("warcinfo") == 1
+        assert sum(1 for r in recs if r["type"] == "conversion") == 130
+        # records are sorted by url across the WHOLE group
+        uris = [r["headers"]["WARC-Target-URI"] for r in recs if r["type"] == "conversion"]
+        assert uris == sorted(uris)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_wet_warc_date_is_utc_under_non_utc_session_tz(spark):
+    """ADVICE r4: WARC-Date must be the UTC instant regardless of
+    spark.sql.session.timeZone — applyInPandas localizes timestamps to
+    the session zone, so relabeling the naive value as UTC shifted the
+    date by the zone offset."""
+    from datetime import datetime, timezone
+
+    from frontier_engine.warc import iter_warc, wet_archives
+
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")  # UTC-5 in January
+    try:
+        pages = spark.createDataFrame(
+            [("https://tz.example/a",
+              datetime(2026, 1, 15, 12, 0, 0, tzinfo=timezone.utc), "body")],
+            "url string, warc_ts timestamp, text string",
+        )
+        out = wet_archives(pages).collect()
+        recs = [r for r in iter_warc(bytes(out[0].wet)) if r["type"] == "conversion"]
+        assert recs[0]["headers"]["WARC-Date"] == "2026-01-15T12:00:00Z"
+    finally:
+        spark.conf.set(key, old)
