@@ -454,3 +454,102 @@ def test_document_ingest_stream_dedups_and_redacts(spark, tmp_path):
     assert {r.doc_id for r in corpus2.collect()} == {1, 3, 12, 21}
     # earlier partitions untouched by the resumed run (no rewrite)
     assert {r.doc_id for r in corpus2.where("batch_id = 0").collect()} == {1, 3}
+
+
+def _doc_putter(spark, tmp_path, src):
+    """Stage single-parquet doc files into *src* with increasing mtimes
+    (maxFilesPerTrigger=1 ⇒ one micro-batch per file, in mtime order)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    order = [0]
+
+    def put(name, rows):
+        d = os.path.join(str(tmp_path), "stage_" + name)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (time.time() + order[0], time.time() + order[0]))
+        order[0] += 1
+
+    return put
+
+
+def test_document_ingest_stream_intra_batch_near_dup(spark, tmp_path):
+    """ADVICE r4: two NEAR-identical (non-identical) docs arriving in
+    the SAME micro-batch both survived — the corpus join only compares
+    against prior batches. The within-batch minhash pass must keep only
+    the lower id."""
+    import os
+
+    from frontier_engine.streaming import document_ingest_stream
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(("tokX" if i == 15 else f"tok{i}") for i in range(30))
+    src = os.path.join(str(tmp_path), "docs_in")
+    os.makedirs(src)
+    put = _doc_putter(spark, tmp_path, src)
+    put("f0.parquet", [
+        (1, base),
+        (2, near),   # same-batch NEAR dup of 1 (jaccard ≈ .83) — must drop
+        (3, "completely different " + " ".join(f"q{i}" for i in range(30))),
+    ])
+    root = os.path.join(str(tmp_path), "ingest")
+    q = document_ingest_stream(spark, src, root, os.path.join(str(tmp_path), "ck"))
+    q.awaitTermination(180)
+    corpus = spark.read.parquet(os.path.join(root, "corpus"))
+    assert {r.doc_id for r in corpus.collect()} == {1, 3}
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {1, 3}
+
+
+def test_document_ingest_stream_compacts_state(spark, tmp_path):
+    """VERDICT r4 ask #4: one batch_id= partition per micro-batch is a
+    many-small-files scan after thousands of batches. With
+    compact_every=4 the partition count must stay bounded across 10
+    batches, the fold must preserve dedup behavior (a near dup of a
+    COMPACTED doc still drops), and the final corpus must equal the
+    never-compacting run's."""
+    import os
+
+    from frontier_engine.streaming import document_ingest_stream
+
+    def corpus_words(k):
+        return " ".join(f"c{k}w{i}" for i in range(30))
+
+    files = []
+    for b in range(9):
+        files.append((f"f{b}.parquet", [(100 + b, corpus_words(b))]))
+    # batch 9: near dup of batch 0's doc (long since folded) + a fresh doc
+    near0 = " ".join(("XX" if i == 15 else f"c0w{i}") for i in range(30))
+    files.append(("f9.parquet", [(900, near0), (901, corpus_words(99))]))
+
+    def run(tag, compact_every):
+        src = os.path.join(str(tmp_path), f"docs_{tag}")
+        os.makedirs(src)
+        put = _doc_putter(spark, tmp_path, src)
+        for name, rows in files:
+            put(tag + name, rows)
+        root = os.path.join(str(tmp_path), f"ingest_{tag}")
+        q = document_ingest_stream(
+            spark, src, root, os.path.join(str(tmp_path), f"ck_{tag}"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+        return root
+
+    root_c = run("c", compact_every=4)
+    root_n = run("n", compact_every=10_000)
+
+    for sub in ("corpus", "bands"):
+        parts = [f for f in os.listdir(os.path.join(root_c, sub)) if f.startswith("batch_id=")]
+        assert len(parts) <= 5, (sub, parts)   # fold keeps it under compact_every+1
+        got_c = {r.doc_id for r in spark.read.parquet(os.path.join(root_c, sub)).select("doc_id").distinct().collect()}
+        got_n = {r.doc_id for r in spark.read.parquet(os.path.join(root_n, sub)).select("doc_id").distinct().collect()}
+        assert got_c == got_n, (sub, got_c, got_n)
+    got = {r.doc_id for r in spark.read.parquet(os.path.join(root_c, "corpus")).collect()}
+    assert 900 not in got and 901 in got and {100 + b for b in range(9)} <= got
