@@ -127,10 +127,14 @@ def q_frontier_dedup(spark, sf_dir):
 
 
 def q_robots_filter(spark, sf_dir):
-    """S5/F11: per-host robots prefix rules drop disallowed paths —
-    broadcast rules join + HOF prefix match (robots.split_allowed)."""
+    """S5/F11: RFC 9309 (Protego-semantics) robots enforcement, end to
+    end — per-host robots.txt TEXT is parsed (UA-group selection: the
+    'frontier' group must win over '*' and 'badbot'), rules compile to
+    precedence-sorted Java regexes (wildcards, $ anchors, longest-match,
+    Allow-beats-Disallow ties), broadcast-joined to the frontier
+    (robots.rules_from_pages + split_allowed)."""
     from frontier_engine.config import EngineConfig
-    from frontier_engine.robots import split_allowed
+    from frontier_engine.robots import rules_from_pages, split_allowed
 
     fr = _frontier(spark, sf_dir).withColumn(
         "path",
@@ -139,18 +143,23 @@ def q_robots_filter(spark, sf_dir):
         .otherwise(F.concat(F.lit("/search/"), F.col("discovered_seq"))),
     )
     fr = fr.withColumn("url", F.concat(F.lit("https://"), F.col("host"), F.col("path")))
-    hosts = fr.select("host").distinct()
-    rules = hosts.select(
-        "host",
-        F.when(
-            F.substring("host", 9, 99).startswith("0")
-            | F.substring(F.col("host"), 9, 2).isin("1.", "2."),
-            F.array(F.lit("/api/v3/PdpReviews")),
-        ).otherwise(F.array().cast("array<string>")).alias("disallow_prefixes"),
-        F.array().cast("array<string>").alias("allow_prefixes"),
-        F.lit(10.0).alias("crawl_delay_s"),
-        F.lit(10).alias("max_concurrency"),
+    restricted = (
+        F.substring("host", 9, 99).startswith("0")
+        | F.substring(F.col("host"), 9, 2).isin("1.", "2.")
     )
+    body = F.concat(
+        F.lit("User-agent: badbot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /api/\n\n"
+              "User-agent: frontier\n"),
+        F.when(restricted, F.lit("Disallow: /api/v3/Pdp\nAllow: /api/v3/Pdp/\n")).otherwise(F.lit("")),
+        F.lit("Disallow: /search/*0$\nDisallow: /search/2\n"
+              "Allow: /search/1\nDisallow: /search/1\nCrawl-delay: 7\n"),
+    )
+    robots_pages = fr.select("host").distinct().select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        body.alias("text"),
+    )
+    rules = rules_from_pages(robots_pages, EngineConfig())
     allowed, _ = split_allowed(fr, rules, EngineConfig())
     return allowed.groupBy("host").agg(F.count("*").cast("long").alias("allowed_cnt"))
 
@@ -1914,8 +1923,15 @@ def _oracle_sql_build() -> dict[str, str]:
             SELECT host, CAST(COUNT(*) AS BIGINT) AS allowed_cnt
             FROM fr
             WHERE NOT (
-              (substring(host, 9, 1) = '0' OR substring(host, 9, 2) IN ('1.', '2.'))
-              AND path LIKE '/api/v3/PdpReviews%'
+              -- Disallow /api/v3/Pdp (11) loses to Allow /api/v3/Pdp/ (12)
+              -- on Pdp/ paths, wins alone on PdpReviews (restricted hosts)
+              ((substring(host, 9, 1) = '0' OR substring(host, 9, 2) IN ('1.', '2.'))
+               AND path LIKE '/api/v3/PdpReviews/%')
+              -- Disallow /search/*0$ (len 12) beats the len-9 tie pair
+              OR (path LIKE '/search/%' AND path LIKE '%0')
+              -- Disallow /search/2 has no Allow twin; the /search/1
+              -- equal-length Allow/Disallow tie resolves to Allow
+              OR path LIKE '/search/2%'
             )
             GROUP BY host
         """,

@@ -29,6 +29,9 @@ class EngineConfig:
     autothrottle_max_delay_s: float = 60.0
     round_seconds: float = 100.0  # wall-clock budget one scheduling round models
     robots_obey: bool = True
+    # crawler identity for robots UA-group selection (settings.py.dist:42's
+    # USER_AGENT slot; Protego matches group tokens as substrings of this)
+    user_agent: str = "frontier-engine (https://frontier-engine)"
 
     # item pipeline (pipelines.py:62-109; settings.py.dist:134-159)
     minimum_monthly_discount: int | None = None

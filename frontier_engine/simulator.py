@@ -139,10 +139,9 @@ def simulate(
         r = rules.get(host_of(url))
         if not r:
             return True
-        p = _path(url)
-        dis = any(p.startswith(x) for x in r["disallow_prefixes"])
-        allow = any(p.startswith(x) for x in r["allow_prefixes"])
-        return not (dis and not allow)
+        from frontier_engine.robots import match_path
+
+        return match_path([(d["pattern"], d["allow"]) for d in r["rules"]], _path(url))
 
     seen: set[str] = set()
     pending: list[dict] = []  # {url, host, depth, score, seq, priority}
