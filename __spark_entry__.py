@@ -1001,18 +1001,103 @@ def q_pii_clean(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """GPT-style sequence packing (textops.pack_sequences, r4): the
-    corpus' whitespace tokens laid end-to-end in doc_id order and cut
-    into 64-token training sequences; output is the (seq_id, doc_id,
-    tok_start, n_toks) assignment table a training loader gathers from.
-    The oracle recomputes the same global prefix-sum with a SQL window —
-    the engine's range-partitioned two-phase cumsum (driver sees n_parts
-    totals, never rows; no SinglePartition exchange, plan-guarded) must
-    produce the identical assignment at any parallelism."""
+    """GPT-style sequence packing (textops.pack_sequences, r4; r5 adds
+    the tokenizer='bpe' method): the corpus' tokens laid end-to-end in
+    doc_id order and cut into 64-token training sequences; output is the
+    method-tagged (seq_id, doc_id, tok_start, n_toks) assignment union —
+    method='ws' packs whitespace tokens, method='bpe' first TRAINS an
+    in-repo byte-pair vocab over the corpus (frontier_engine.bpe:
+    distributed word-freq agg + per-round distributed pair counts,
+    deterministic (count DESC, pair ASC) argmax, min_count=2 early
+    stop) and packs exact BPE token counts (the merges enter the plan
+    as a literal JVM replace chain). The oracle recomputes EVERYTHING —
+    BPE training unrolled stage by stage, encoding, both prefix-sum
+    layouts — in DuckDB SQL; the engine's range-partitioned two-phase
+    cumsum (driver sees n_parts totals, never rows; no SinglePartition
+    exchange, plan-guarded) must produce identical assignments at any
+    parallelism."""
+    from frontier_engine.bpe import bpe_train
     from frontier_engine.textops import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return pack_sequences(d, seq_len=64)
+    merges = bpe_train(d, num_merges=_BPE_NUM_MERGES, min_count=2)
+    ws = pack_sequences(d, seq_len=64)
+    bpe = pack_sequences(d, seq_len=64, tokenizer="bpe", bpe_merges=merges)
+    return ws.withColumn("method", F.lit("ws")).unionByName(
+        bpe.withColumn("method", F.lit("bpe"))
+    )
+
+
+_BPE_NUM_MERGES = 16
+
+
+def _bpe_pack_oracle_sql() -> str:
+    """DuckDB twin of q_pack_sequences: unrolls the BPE training loop as
+    _BPE_NUM_MERGES chained CTE stages (pair counts → (c DESC, pair ASC)
+    argmax with min-count-2 gate → delimiter-framed replace — the same
+    string algorithm the engine runs as JVM expressions), then encodes
+    every document and lays out both tokenizations' packing windows.
+    Stages past the engine's early stop see no >=2-count pair and no-op
+    via the chr(2)||chr(2) never-occurs guard pattern."""
+    d1, d2, d3 = "chr(1)", "chr(2)", "chr(3)"
+    guard = "chr(2)||chr(2)"  # framing never puts two EOTs adjacent
+    pre = r"'[A-Za-z0-9]+|[^A-Za-z0-9\s]'"
+    clean = f"translate(text, {d1}||{d2}||{d3}, '')"
+    # frame(x): every codepoint of x becomes chr(1)<c>chr(2)
+    frame = lambda x: f"regexp_replace({x}, '(.)', {d1}||'\\1'||{d2}, 'g')"
+    parts = [f"""
+        WITH w0 AS MATERIALIZED (
+          SELECT {frame('w')} AS tk, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(regexp_extract_all({clean}, {pre})) AS w FROM documents)
+          GROUP BY w
+        )"""]
+    for k in range(_BPE_NUM_MERGES):
+        pat = f"(SELECT {d1} || replace(pair, {d3}, {d2}||{d1}) || {d2} FROM b{k})"
+        rep = f"(SELECT {d1} || replace(pair, {d3}, '') || {d2} FROM b{k})"
+        parts.append(f""",
+        p{k} AS MATERIALIZED (
+          SELECT pr AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM (SELECT cnt, unnest([l[i] || {d3} || l[i+1] for i in range(1, len(l))]) AS pr
+                FROM (SELECT cnt, string_split(substring(tk, 2, length(tk)-2), {d2}||{d1}) AS l
+                      FROM w{k} WHERE length(tk) > 0))
+          GROUP BY pr
+        ),
+        b{k} AS MATERIALIZED (SELECT pair FROM p{k} WHERE c >= 2 ORDER BY c DESC, pair LIMIT 1),
+        w{k + 1} AS MATERIALIZED (SELECT replace(tk, coalesce({pat}, {guard}), coalesce({rep}, '')) AS tk, cnt FROM w{k}),
+        e{k + 1} AS MATERIALIZED (SELECT doc_id, replace(s, coalesce({pat}, {guard}), coalesce({rep}, '')) AS s FROM e{k})""")
+    parts.insert(1, f""",
+        e0 AS MATERIALIZED (
+          SELECT doc_id, array_to_string(list_transform(
+                   regexp_extract_all({clean}, {pre}), w -> {frame('w')}), {d3}) AS s
+          FROM documents
+        )""")
+    m = _BPE_NUM_MERGES
+
+    def pack_part(toks_cte: str, method: str) -> str:
+        return f"""
+          SELECT '{method}' AS method, seq_id::BIGINT AS seq_id, doc_id,
+                 GREATEST(0, seq_id*64 - s_off)::BIGINT AS tok_start,
+                 (LEAST((seq_id+1)*64, s_off + t) - GREATEST(seq_id*64, s_off))::BIGINT AS n_toks
+          FROM (
+            SELECT doc_id, s_off, t, (s_off // 64) + i AS seq_id
+            FROM (SELECT doc_id, t,
+                         (SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - t)::BIGINT AS s_off
+                  FROM {toks_cte}) c, (SELECT unnest(range(0, 16)) AS i)
+            WHERE (s_off // 64) + i <= ((s_off + t - 1) // 64)
+          )"""
+
+    parts.append(f""",
+        ws_toks AS (
+          SELECT doc_id, len(regexp_split_to_array(text, '\\s+'))::BIGINT AS t FROM documents
+        ),
+        bpe_toks AS (
+          SELECT doc_id, (length(s) - length(replace(s, {d1}, '')))::BIGINT AS t
+          FROM e{m} WHERE length(s) - length(replace(s, {d1}, '')) > 0
+        )
+        {pack_part('ws_toks', 'ws')}
+        UNION ALL
+        {pack_part('bpe_toks', 'bpe')}""")
+    return "".join(parts)
 
 
 # ===========================================================================
@@ -2679,29 +2764,7 @@ def _oracle_sql_build() -> dict[str, str]:
         """,
         # sequence packing (r4): the engine's distributed two-phase
         # prefix-sum must equal the single SQL window's global cumsum
-        "pack_sequences": r"""
-            WITH toks AS (
-              SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS t FROM documents
-            ),
-            cum AS (
-              SELECT doc_id, t,
-                     (SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - t)::BIGINT AS s_off
-              FROM toks
-            ),
-            spans AS (
-              SELECT doc_id, s_off, t, (s_off // 64) AS first_seq, ((s_off + t - 1) // 64) AS last_seq
-              FROM cum
-            ),
-            ex AS (
-              SELECT doc_id, s_off, t, first_seq + i AS seq_id
-              FROM spans, (SELECT unnest(range(0, 16)) AS i)
-              WHERE first_seq + i <= last_seq
-            )
-            SELECT seq_id::BIGINT AS seq_id, doc_id,
-                   GREATEST(0, seq_id*64 - s_off)::BIGINT AS tok_start,
-                   (LEAST((seq_id+1)*64, s_off + t) - GREATEST(seq_id*64, s_off))::BIGINT AS n_toks
-            FROM ex
-        """,
+        "pack_sequences": _bpe_pack_oracle_sql(),
     }
 
 

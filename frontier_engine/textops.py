@@ -514,16 +514,29 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + BPE-ish subword proxy (alnum runs + punct)."""
+def token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe_merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword proxy (alnum runs + punct).
+    With *bpe_merges* (a vocab from :func:`frontier_engine.bpe.bpe_train`)
+    adds exact ``bpe_tokens`` counts — still pure JVM (the merges enter
+    the plan as a literal replace chain, no UDF, no shuffle)."""
     t = F.col(text_col)
     ws = F.size(F.split(F.trim(t), r"\s+"))
     bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
-    return docs.select(
+    cols = [
         F.col(id_col),
         ws.cast("long").alias("ws_tokens"),
         bpe_ish.cast("long").alias("regex_tokens"),
-    )
+    ]
+    if bpe_merges is not None:
+        from frontier_engine.bpe import bpe_token_count_col
+
+        cols.append(bpe_token_count_col(t, bpe_merges).alias("bpe_tokens"))
+    return docs.select(*cols)
 
 
 def repetition_metrics(
@@ -1094,6 +1107,8 @@ def pack_sequences_counted(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int | None = None,
+    tokenizer: str = "ws",
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """GPT-style concat-and-chunk sequence packing (Brown et al. 2020
     §2.2 pack-to-context; T5's denoiser batching): lay every document's
@@ -1121,9 +1136,24 @@ def pack_sequences_counted(
 
     spark = docs.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    toks = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("_toks"),
+    if tokenizer == "bpe":
+        # tokenizer-accurate packing: the learned merges enter the plan
+        # as a literal JVM replace chain (frontier_engine.bpe) — the
+        # count column stays codegen'd, no UDF before the prefix-sum
+        if bpe_merges is None:
+            raise ValueError("tokenizer='bpe' requires bpe_merges (see bpe.bpe_train)")
+        from frontier_engine.bpe import bpe_token_count_col
+
+        tok_count = bpe_token_count_col(F.col(text_col), bpe_merges)
+    elif tokenizer == "ws":
+        tok_count = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (expected 'ws' or 'bpe')")
+    # zero-token docs (possible under BPE; never under ws where split
+    # yields ['']) contribute nothing to the stream — and would trip
+    # sequence(a, b<a), which DESCENDS, into emitting phantom spans
+    toks = docs.select(F.col(id_col), tok_count.cast("long").alias("_toks")).where(
+        F.col("_toks") > 0
     )
     ranged = (
         toks.repartitionByRange(n_parts, F.col(id_col))
@@ -1186,6 +1216,8 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int | None = None,
+    tokenizer: str = "ws",
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """One-shot convenience over :func:`pack_sequences_counted` — eagerly
     ``localCheckpoint``s the assignment table so the range partitioning
@@ -1194,7 +1226,9 @@ def pack_sequences(
     checkpointed blocks stay pinned until the result is garbage
     collected; loop callers should use the ``_counted`` variant and
     manage the handle themselves."""
-    out, handle = pack_sequences_counted(docs, seq_len, text_col, id_col, n_parts)
+    out, handle = pack_sequences_counted(
+        docs, seq_len, text_col, id_col, n_parts, tokenizer, bpe_merges
+    )
     out = out.localCheckpoint(eager=True)
     handle.unpersist()
     return out
