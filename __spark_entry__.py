@@ -48,6 +48,15 @@ _FIXTURE_AUDIO = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_audio.parquet"
 )
 
+# committed MJPEG-in-MP4 fixture (scripts_make_video_fixture.py, r5):
+# real ISO-BMFF containers whose codec samples are real baseline JPEGs
+# of dHash-grid-aligned mosaic frames + a golden first-frame dHash
+# computed from the SOURCE pixels by an explicit-loop reference — the
+# oracle surface for the video near-dup medium
+_FIXTURE_VIDEO = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_video.parquet"
+)
+
 
 def _fixture_pages(spark: SparkSession) -> DataFrame:
     from frontier_engine.canon import host_expr
@@ -917,15 +926,39 @@ def q_centroid_topk(spark, sf_dir):
 
 
 def q_media_near_dup(spark, sf_dir):
-    """CONSOLIDATED correctness row covering BOTH perceptual near-dup
-    media (image dHash over real PNG decode, audio fingerprint over real
-    WAV decode — the same banded-Hamming engine fed by different codecs),
-    tagged by `medium`. Each medium's golden-hash oracle equality stays a
-    separate set of hash-checked rows (see q_text_metrics for why
-    consolidated)."""
+    """CONSOLIDATED correctness row covering perceptual near-dup media
+    across ALL THREE mediums (image dHash over real PNG decode, audio
+    fingerprint over real WAV decode, r5 video first-frame dHash over
+    real MJPEG-in-MP4 demux+decode — the same banded-Hamming engine fed
+    by different codecs), tagged by `medium`. Each medium's golden-hash
+    oracle equality stays a separate set of hash-checked rows (see
+    q_text_metrics for why consolidated)."""
     img = q_phash_near_dup(spark, sf_dir).withColumn("medium", F.lit("image"))
     aud = q_audio_near_dup(spark, sf_dir).withColumn("medium", F.lit("audio"))
-    return img.unionByName(aud)
+    vid = q_video_near_dup(spark, sf_dir).withColumn("medium", F.lit("video"))
+    return img.unionByName(aud).unionByName(vid)
+
+
+def q_video_near_dup(spark, sf_dir):
+    """Video near-dup via first-frame perceptual hash (r5): REAL
+    MJPEG-in-MP4 payloads — ISO-BMFF sample-table seek (frontier_engine
+    .mp4) resolves the first codec sample, baseline-JPEG decode
+    (frontier_engine.jpeg) produces REAL pixels, then the same
+    grayscale → 9×8 dHash → 4×16-bit Hamming banding as images. The
+    committed fixture plants quality-75 re-encodes (hamming 0 — the
+    mosaic frames are dHash-grid-aligned so compression noise can't
+    flip a comparison), one-cell first-frame edits (hamming exactly 1)
+    and distinct videos (far); the oracle recomputes the ≤3-Hamming
+    pair set from golden_vhash (computed from SOURCE pixels by an
+    independent explicit-loop implementation), so a regression anywhere
+    in demux / sample extraction / JPEG decode / hash / banding
+    mismatches."""
+    from frontier_engine.multimodal import phash_near_pairs
+
+    media = spark.read.parquet(_FIXTURE_VIDEO).select("media_id", "mime", "payload")
+    return phash_near_pairs(media, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_semantic_dedup_family(spark, sf_dir):
@@ -2678,6 +2711,16 @@ def _oracle_sql_build() -> dict[str, str]:
                    CAST(bit_count(xor(a.golden_fp, b.golden_fp)) AS BIGINT) AS hamming
             FROM g a JOIN g b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.golden_fp, b.golden_fp)) <= 3
+            )
+            UNION ALL
+            SELECT 'video' AS medium, * FROM (
+            WITH g AS (
+              SELECT media_id, golden_vhash FROM read_parquet('{_FIXTURE_VIDEO}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.golden_vhash, b.golden_vhash)) AS BIGINT) AS hamming
+            FROM g a JOIN g b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.golden_vhash, b.golden_vhash)) <= 3
             )
         """,
         "centroid_topk": """

@@ -11,11 +11,12 @@ payloads a REAL RIFF/PCM decode + log-spectrogram via
 (Huffman + dequant + IDCT) via ``frontier_engine.jpeg``, and MP4
 payloads a REAL ISO-BMFF container parse (box walk + stts/stsz/stsc/
 stco sample-table resolution) via ``frontier_engine.mp4`` — all
-round-4, no image/audio library needed. The only remaining fake is the
-pixel decode INSIDE a video sample (H.264 is out of stdlib scope; the
-pyav drop-in point is annotated) — the byte ranges, timing and seek
-math handed to it are real. Swap ``_decode_impl`` for a full codec on
-a cluster and nothing else changes.
+round-4, no image/audio library needed. Round-5 composes the two:
+MJPEG-in-MP4 videos decode REAL frame pixels (mp4 sample-range
+resolution → baseline-JPEG decode), removing the last multimodal fake.
+Only non-MJPEG video codecs (H.264 is out of stdlib scope) keep a
+deterministic fallback at the annotated pyav drop-in point — the byte
+ranges, timing and seek math handed to it are real either way.
 
 Design for 100 TB of media:
 * payloads never leave the JVM except inside the one mapInPandas stage
@@ -108,8 +109,37 @@ def _decode_impl(payload: bytes, mime: str) -> np.ndarray:
     if mime.startswith("audio/") and W.is_wav(payload):
         samples, _meta = W.decode_wav(payload)
         return W.spectrogram_grid(samples, n_time=8, n_bands=8)
+    if mime == "video/mp4":
+        frame = _first_video_frame(payload)
+        if frame is not None:
+            return P.resize_nearest(_to_gray(frame), 8, 8).astype(np.float32)
     h = blake2b(payload, digest_size=64).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def _first_video_frame(payload: bytes) -> np.ndarray | None:
+    """REAL video pixel decode for the MJPEG-in-MP4 path (r5): resolve
+    the first sample's mdat byte range through the ISO-BMFF sample
+    tables (frontier_engine.mp4) and baseline-decode it
+    (frontier_engine.jpeg) — composing the two shipped codecs removes
+    the last multimodal fake. Non-MJPEG codecs (H.264…) return None and
+    callers keep the deterministic fallback (pyav drop-in point)."""
+    from frontier_engine import jpeg as J
+    from frontier_engine import mp4 as V
+
+    if not V.is_mp4(payload):
+        return None
+    try:
+        table = V.parse_mp4(payload)["samples"]
+        if not table:
+            return None
+        sample = V.extract_sample(payload, table, 0)
+        if sample[:2] != J.SOI:
+            return None
+        arr, _meta = J.decode_jpeg(sample)
+        return arr
+    except Exception:
+        return None
 
 
 def _gradient_image(i: int, w: int = 24, h: int = 16) -> np.ndarray:
@@ -141,8 +171,9 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     scanline filters), the ``image/jpeg`` rows REAL baseline-JPEG
     payloads (optimized Huffman, 4:2:0 on odd rows), and the
     ``audio/wav`` rows REAL RIFF/PCM16 payloads (synthesized tone+noise
-    signals), so the decode stages exercise genuine bytes end-to-end;
-    only video stays an opaque fake."""
+    signals), and the ``video/mp4`` rows REAL MJPEG-in-MP4 (every codec
+    sample a baseline JPEG of a formula frame), so every decode stage
+    exercises genuine bytes end-to-end."""
     from frontier_engine import jpeg as J
     from frontier_engine import png as P
     from frontier_engine import wav as W
@@ -165,20 +196,24 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = W.encode_wav(_tone_signal(i, dur), SYNTH_SAMPLE_RATE)
             meta = {"width": None, "height": None, "duration_s": dur,
                     "codec": "pcm_s16le"}
-        else:  # video/mp4: REAL ISO-BMFF container, opaque codec samples
+        else:  # video/mp4 (r5): REAL ISO-BMFF container, REAL MJPEG
+            # samples — every frame is a baseline JPEG of a formula
+            # image, so the sample/decode stages exercise genuine
+            # pixels end to end (mp4 demux + jpeg decode compose)
             from frontier_engine import mp4 as V
 
             dur = 1 + i % 30
             samples = [
-                blake2b(f"media-{i}-s{k}".encode(), digest_size=24).digest() * (2 + k % 3)
+                bytes(J.encode_jpeg(_gradient_image(i * 31 + k), quality=90))
                 for k in range(dur)
             ]
+            img0 = _gradient_image(i * 31)
             payload = V.encode_mp4(
                 samples, timescale=1000, sample_deltas=1000,
-                width=640, height=480, samples_per_chunk=4,
+                width=img0.shape[1], height=img0.shape[0], samples_per_chunk=4,
             )
-            meta = {"width": 640, "height": 480, "duration_s": float(dur),
-                    "codec": "mp4"}
+            meta = {"width": img0.shape[1], "height": img0.shape[0],
+                    "duration_s": float(dur), "codec": "mjpeg"}
         rows.append({"media_id": i, "mime": mime, "payload": payload, "meta": meta})
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -223,11 +258,14 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
     (round-4): REAL container-level extraction — the frame is the exact
     mdat byte range of the sample whose start time ≤ idx·every_s,
     resolved through the parsed stts/stsz/stsc/stco tables (the seek
-    math a demuxer does); only the codec payload inside the sample
-    stays opaque (pyav decode drop-in point). Other mimes keep the
-    deterministic fake.
+    math a demuxer does). MJPEG-in-MP4 samples (r5) additionally decode
+    to REAL pixels and emit a standalone PNG frame; other video codecs
+    keep the container-level sample bytes (pyav drop-in point). Other
+    mimes keep the deterministic fake.
     """
+    from frontier_engine import jpeg as J
     from frontier_engine import mp4 as V
+    from frontier_engine import png as P
     from frontier_engine import wav as W
 
     timed = media.where(F.col("meta")["duration_s"].isNotNull()).withColumn(
@@ -262,8 +300,15 @@ def sample_frames(media: DataFrame, every_s: float = 5.0) -> DataFrame:
                         decoded[mid] = V.parse_mp4(raw)["samples"]
                     table = decoded[mid]
                     si = V.sample_at_time(table, int(idx) * every_s)
-                    # ← real pixel decode of the sample (pyav) goes here
                     frame = V.extract_sample(raw, table, si)
+                    if frame[:2] == J.SOI:
+                        # MJPEG-in-MP4 (r5): REAL pixel decode of the
+                        # sample; the emitted frame is a standalone PNG
+                        # of the decoded pixels (the ffmpeg-frame-dump
+                        # shape). Other codecs keep the container-level
+                        # sample bytes (pyav drop-in point).
+                        arr, _jm = J.decode_jpeg(frame)
+                        frame = P.encode_png(arr, filter_strategy="none")
                 else:
                     # ← real frame extraction (pyav seek+decode) goes here
                     frame = blake2b(
@@ -411,9 +456,10 @@ def _decode_gray(payload: bytes, mime: str) -> np.ndarray:
     (Haitsma & Kalker 2002 shape), gain-invariant because the grid is
     log-energy. JPEG: real baseline decode → grayscale plane (dHash's
     coarse 9×8 grid absorbs compression noise, so same-image
-    re-encodes land at small Hamming distance). Video: the
-    deterministic 8×8 fake grid _decode_impl uses (no stdlib codec —
-    pyav drop-in point)."""
+    re-encodes land at small Hamming distance). Video (r5): REAL first-
+    frame pixels for MJPEG-in-MP4 (mp4 sample resolution → jpeg decode);
+    non-MJPEG codecs keep the deterministic 8×8 grid (pyav drop-in
+    point)."""
     from frontier_engine import jpeg as J
     from frontier_engine import png as P
     from frontier_engine import wav as W
@@ -427,6 +473,10 @@ def _decode_gray(payload: bytes, mime: str) -> np.ndarray:
     if mime.startswith("audio/") and W.is_wav(payload):
         samples, _meta = W.decode_wav(payload)
         return W.spectrogram_grid(samples, n_time=9, n_bands=8).T
+    if mime == "video/mp4":
+        frame = _first_video_frame(payload)  # MJPEG-in-MP4: real pixels (r5)
+        if frame is not None:
+            return _to_gray(frame)
     h = blake2b(payload, digest_size=64).digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
 

@@ -41,16 +41,32 @@ def test_frame_sampling_counts(media):
         for r in frames
         if rows[r.media_id].mime == "audio/wav"
     )
+    from frontier_engine import jpeg as J
     from frontier_engine import mp4 as V
+    from frontier_engine import png as P
 
+    import numpy as np
+
+    checked = 0
     for r in frames:
         src = rows[r.media_id]
         if src.mime != "video/mp4":
             continue
+        # r5: MJPEG samples decode to REAL pixels, emitted as standalone
+        # PNG frames — driver-side: demux the source sample, decode its
+        # JPEG, and require pixel-exact equality with the PNG frame
         raw = bytes(src.payload)
         tbl = V.parse_mp4(raw)["samples"]
         si = V.sample_at_time(tbl, r.frame_idx * 5.0)
-        assert bytes(r.frame) == V.extract_sample(raw, tbl, si)
+        sample = V.extract_sample(raw, tbl, si)
+        assert sample[:2] == J.SOI
+        want, _ = J.decode_jpeg(sample)
+        frame = bytes(r.frame)
+        assert frame[:8] == P.SIGNATURE
+        got, _ = P.decode_png(frame)
+        assert np.array_equal(got, want)
+        checked += 1
+    assert checked > 0
 
 
 def test_wav_frames_are_exact_pcm_windows(media):
@@ -339,3 +355,30 @@ def test_audio_near_pairs_matches_committed_golden(spark):
     # gain-halved copies within quantization tolerance
     assert all(got[(i, i + 100)] == 0 for i in range(10))
     assert all(got.get((i, i + 200), 99) <= 2 for i in range(10))
+
+
+def test_video_phash_golden_fixture(spark):
+    """r5: MJPEG-in-MP4 near-dup — engine hash (demux → jpeg decode →
+    gray → dhash) must equal the fixture's golden_vhash (computed from
+    SOURCE pixels by an independent explicit-loop implementation), and
+    the planted pair structure must come out of the banded join."""
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "..", "fixtures", "media_video.parquet")
+    media = spark.read.parquet(fixture)
+    hashes = {
+        r.media_id: r.phash
+        for r in M.phash_media(media.select("media_id", "mime", "payload")).collect()
+    }
+    gold = {r.media_id: r.golden_vhash for r in media.select("media_id", "golden_vhash").collect()}
+    assert hashes == gold
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.phash_near_pairs(
+            media.select("media_id", "mime", "payload"), max_hamming=3
+        ).collect()
+    }
+    assert all(got[(i, i + 100)] == 0 for i in range(8))  # re-encode
+    assert all(got[(i, i + 200)] == 1 for i in range(8))  # one-cell edit
+    assert all(got[(i + 100, i + 200)] == 1 for i in range(8))
+    assert len(got) == 24  # nothing else within hamming 3
