@@ -120,6 +120,72 @@ class SnapshotStore:
             f.write(str(snap_id))
         os.replace(ltmp, self._latest_path())
 
+    def expire(self, keep_last: int = 2) -> dict:
+        """Snapshot retention GC (Iceberg's ``expire_snapshots``, r5):
+        keep the *keep_last* most recent snapshots ALONG THE PARENT
+        CHAIN from LATEST, delete every other manifest and every table
+        ``snap-*`` directory no retained manifest references.
+
+        Walking the lineage (not sorting ids) is what makes this safe
+        after ``rollback``: snapshots on an abandoned branch are
+        unreferenced regardless of their ids and get collected, while
+        the live chain — including time-travel to any retained ancestor
+        — keeps working. A crash mid-expire only leaves extra
+        unreferenced files (deletes happen after the retained set is
+        fixed; nothing in the retained set is ever touched).
+
+        Returns {"retained": [...], "removed_snapshots": [...],
+        "removed_files": n, "freed_bytes": n}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.latest_id()
+        if head is None:
+            return {"retained": [], "removed_snapshots": [], "removed_files": 0,
+                    "freed_bytes": 0}
+        retained: list[int] = []
+        cur: int | None = head
+        while cur is not None and len(retained) < keep_last:
+            retained.append(cur)
+            cur = self.manifest(cur).get("parent_id")
+        keep = set(retained)
+        referenced = {
+            os.path.normpath(info["path"])
+            for sid in retained
+            for info in self.manifest(sid)["tables"].values()
+        }
+        removed_snaps, removed_files, freed = [], 0, 0
+        mdir = os.path.join(self.root, "manifests")
+        for fname in sorted(os.listdir(mdir)):
+            if not fname.endswith(".json"):
+                continue
+            sid = int(fname[: -len(".json")])
+            if sid in keep:
+                continue
+            removed_snaps.append(sid)
+            os.remove(os.path.join(mdir, fname))
+        for tdir in sorted(os.listdir(self.root)):
+            tpath = os.path.join(self.root, tdir)
+            if tdir in ("manifests",) or not os.path.isdir(tpath):
+                continue
+            for snap in sorted(os.listdir(tpath)):
+                spath = os.path.normpath(os.path.join(tpath, snap))
+                if not snap.startswith("snap-") or spath in referenced:
+                    continue
+                for base, _dirs, files in os.walk(spath, topdown=False):
+                    for f in files:
+                        fp = os.path.join(base, f)
+                        freed += os.path.getsize(fp)
+                        os.remove(fp)
+                        removed_files += 1
+                    os.rmdir(base)
+        return {
+            "retained": retained,
+            "removed_snapshots": sorted(removed_snaps),
+            "removed_files": removed_files,
+            "freed_bytes": freed,
+        }
+
     def load(self, spark: SparkSession, snap_id: int) -> dict[str, DataFrame]:
         man = self.manifest(snap_id)
         return {

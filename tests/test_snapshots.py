@@ -53,3 +53,72 @@ def test_rollback_to_missing_snapshot_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         store.rollback(99)
     assert store.latest_id() == 0
+
+
+def _disk_bytes(root):
+    import os
+
+    total = 0
+    for base, _d, files in os.walk(root):
+        total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    return total
+
+
+def test_expire_keeps_time_travel_and_shrinks_disk(spark, tmp_path):
+    """r5 retention GC: expire(keep_last=2) must drop old manifests and
+    their data files (disk actually shrinks) while time-travel to every
+    RETAINED snapshot still loads, and the store keeps committing."""
+    root = str(tmp_path / "snap")
+    store = SnapshotStore(root)
+    for i in range(6):
+        store.commit(i, {"t": _df(spark, 10 + i, f"v{i}"), "u": _df(spark, 3, f"u{i}")})
+    before = _disk_bytes(root)
+
+    stats = store.expire(keep_last=2)
+    assert stats["retained"] == [5, 4]
+    assert stats["removed_snapshots"] == [0, 1, 2, 3]
+    assert stats["removed_files"] > 0 and stats["freed_bytes"] > 0
+    assert _disk_bytes(root) <= before - stats["freed_bytes"]
+
+    # time-travel within the retained window still works
+    assert store.load(spark, 4)["t"].count() == 14
+    sid, tables = store.load_latest(spark)
+    assert sid == 5 and tables["t"].count() == 15 and tables["u"].count() == 3
+    # expired snapshots are gone
+    with pytest.raises(FileNotFoundError):
+        store.load(spark, 2)
+    import os
+
+    assert not os.path.exists(os.path.join(root, "t", "snap-0"))
+    # the store keeps working after GC
+    store.commit(6, {"t": _df(spark, 2, "v6"), "u": _df(spark, 1, "u6")})
+    assert store.load_latest(spark)[0] == 6
+    assert store.manifest(6)["parent_id"] == 5
+
+
+def test_expire_collects_rolled_back_branch(spark, tmp_path):
+    """Snapshots on a branch abandoned by rollback are unreferenced
+    regardless of id order — lineage-walk retention collects them."""
+    store = SnapshotStore(str(tmp_path / "snap"))
+    for i in range(5):
+        store.commit(i, {"t": _df(spark, 5 + i, f"v{i}")})
+    store.rollback(2)
+    store.commit(6, {"t": _df(spark, 99, "v6")})  # parent = 2
+
+    stats = store.expire(keep_last=2)
+    assert stats["retained"] == [6, 2]
+    # 3 and 4 sat on the abandoned branch; 0 and 1 are past the window
+    assert stats["removed_snapshots"] == [0, 1, 3, 4]
+    assert store.load(spark, 2)["t"].count() == 7
+    assert store.load(spark, 6)["t"].count() == 99
+
+
+def test_expire_edge_cases(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    assert store.expire(keep_last=3)["retained"] == []  # empty store
+    store.commit(0, {"t": _df(spark, 2, "a")})
+    with pytest.raises(ValueError):
+        store.expire(keep_last=0)
+    stats = store.expire(keep_last=5)  # window larger than history
+    assert stats["retained"] == [0] and stats["removed_snapshots"] == []
+    assert store.load_latest(spark)[0] == 0
