@@ -222,11 +222,36 @@ def _pattern_regex(p: Column) -> Column:
 def _compiled_rule_structs(patterns: Column, allow: bool) -> Column:
     # sort_array orders by fields left→right: longest pattern first,
     # Allow before Disallow on ties — RFC 9309 precedence as a sort key.
+    #
+    # kind classifies the match strategy: real robots files are mostly
+    # wildcard-free, and Spark's RLike caches only the LAST compiled
+    # pattern per expression instance — per-element regex evaluation
+    # would Pattern.compile on every element of every frontier row. So
+    # plain prefixes (kind 0) match via startswith and '$'-anchored
+    # literals (kind 1) via equality — pure string ops — and only rules
+    # actually containing '*' (kind 2) touch the regex engine.
+    def kind_of(p: Column) -> Column:
+        has_star = p.contains("*")
+        anchored = p.endswith("$")
+        return (
+            F.when(has_star, F.lit(2))
+            .when(anchored, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    def body_of(p: Column) -> Column:
+        # the literal to prefix-match (kind 0) or equality-match (kind 1)
+        return F.when(p.endswith("$") & ~p.contains("*"),
+                      F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+
     return F.transform(
         patterns,
         lambda p: F.struct(
             (-F.length(p)).alias("neg_len"),
             F.lit(0 if allow else 1).alias("allow_rank"),
+            kind_of(p).alias("kind"),
+            body_of(p).alias("body"),
             _pattern_regex(p).alias("regex"),
             F.lit(allow).alias("allow"),
         ),
@@ -273,10 +298,14 @@ def split_allowed(candidates: DataFrame, rules: DataFrame, cfg: EngineConfig) ->
     # materialize the match target once — HOF lambdas re-evaluate free
     # expressions per element, a real cost at frontier scale
     joined = joined.withColumn("__path", _path_of(F.col("url")))
+    path = F.col("__path")
     hits = F.filter(
         F.coalesce(F.col("__rules"), F.array().cast(
-            "array<struct<neg_len:int,allow_rank:int,regex:string,allow:boolean>>")),
-        lambda r: F.regexp_like(F.col("__path"), r["regex"]),
+            "array<struct<neg_len:int,allow_rank:int,kind:int,body:string,"
+            "regex:string,allow:boolean>>")),
+        lambda r: F.when(r["kind"] == 0, path.startswith(r["body"]))
+        .when(r["kind"] == 1, path == r["body"])
+        .otherwise(F.regexp_like(path, r["regex"])),
     )
     is_blocked = ~F.coalesce(F.try_element_at(hits, F.lit(1))["allow"], F.lit(True))
     rule_cols = [c for c in ("rules", "disallow_prefixes", "allow_prefixes", "max_concurrency")
