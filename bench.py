@@ -628,6 +628,13 @@ def _scaling_eff(jout: dict) -> None:
             jout["efficiency_vs_child_ceiling"] = round(
                 jout["efficiency"] / (h8 / h2), 3
             )
+            # when the hardware probe ITSELF scaled below the 0.8 gate
+            # in this window (co-tenant memory-bandwidth pressure the
+            # steal-jiffy gate can't see — steal counts CPU preemption
+            # only), no engine can read ≥0.8 raw here; flag it so the
+            # artifact is self-explaining rather than silently failing
+            # the gate on a hardware-limited window
+            jout["window_hardware_limited"] = bool((h8 / h2) < 0.8)
     if "n8" in jout and "n32" in jout:
         jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
 
