@@ -878,10 +878,18 @@ def main() -> None:
 
     do_scaling = os.environ.get("BENCH_SCALING", "1") == "1"
     steal0 = _read_steal_jiffies()
+    phase_walls: dict[str, float] = {}
+
+    def _clock(name: str, t0: float) -> None:
+        phase_walls[name] = round(time.time() - t0, 1)
+
     # bracket the run with Spark-free hardware probes: if the box's own
     # parallel-CPU ceiling moved between them, the run hit host-level
     # contention and its efficiencies must be read against probe_pre/post
+    t_ph = time.time()
     probe_pre = hardware_probe() if do_scaling else {}
+    _clock("probe_pre", t_ph)
+    t_ph = time.time()
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--main-child"],
         capture_output=True, text=True,
@@ -892,6 +900,7 @@ def main() -> None:
     for line in p.stdout.splitlines():
         if line.startswith("MAIN_RESULT "):
             res = json.loads(line[len("MAIN_RESULT "):])
+    _clock("main", t_ph)
     if res is None:
         sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
         raise RuntimeError("main-child produced no result")
@@ -917,6 +926,7 @@ def main() -> None:
         "scaling": scaling,
         "salt_ab": None,
         "wall_budget_s": wall_budget,
+        "phase_walls": phase_walls,
     }
 
     def emit() -> None:
@@ -937,7 +947,9 @@ def main() -> None:
                     scaling.setdefault("skipped_budget", []).append(f"{job}:n{cores}")
                     continue
                 n_child = _child_n_urls(job, cores, SCALING_N)
+                t_ph = time.time()
                 r = _run_child(job, cores, n_child, timeout_s=remaining())
+                _clock(f"{job}:n{cores}", t_ph)
                 if r is None:
                     scaling.setdefault("skipped_budget", []).append(f"{job}:n{cores}")
                     continue
@@ -948,6 +960,7 @@ def main() -> None:
 
     # ---- salt A/B phase
     salt_ab = None
+    t_ph = time.time()
     if os.environ.get("BENCH_SALT_AB", "1") == "1" and remaining() > 120:
         try:
             p2 = subprocess.run(
@@ -961,10 +974,13 @@ def main() -> None:
                     salt_ab = json.loads(line[len("SALT_AB_RESULT "):])
         except subprocess.TimeoutExpired:
             pass
+    _clock("salt_ab", t_ph)
     result["salt_ab"] = salt_ab
 
     if do_scaling:
+        t_ph = time.time()
         scaling["hardware_ceiling"] = hardware_probe()
+        _clock("probe_post", t_ph)
         steal1 = _read_steal_jiffies()
         if steal0 is not None and steal1 is not None:
             scaling["steal_jiffies_delta"] = steal1 - steal0
