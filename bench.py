@@ -1022,6 +1022,7 @@ def main() -> None:
                     )
 
     # Full result: one line for logs + the whole thing on disk.
+    result["wall_s"] = round(time.time() - t_start, 1)
     print("BENCH_DETAIL " + json.dumps(result))
     try:
         os.makedirs("BENCH", exist_ok=True)
@@ -1029,7 +1030,6 @@ def main() -> None:
             json.dump(result, f, indent=1)
     except OSError:
         pass
-    result["wall_s"] = round(time.time() - t_start, 1)
     # The FINAL printed line is the driver contract — the slim twin.
     emit()
 
