@@ -648,6 +648,17 @@ def _scaling_eff(jout: dict) -> None:
             # artifact is self-explaining rather than silently failing
             # the gate on a hardware-limited window
             jout["window_hardware_limited"] = bool((h8 / h2) < 0.8)
+        # complementary flag for CPU-preemption windows: a child that
+        # burned its extra-sample allowance and still couldn't collect
+        # the requested number of steal-clean reps measured a window
+        # where even the clean median rests on too few samples (run5
+        # shape: n8 1/5 clean reps → schedule 0.58 raw on a box whose
+        # clean windows read 0.84-0.95 on identical code)
+        want = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+        jout["window_steal_contended"] = bool(
+            min(jout["n2"].get("clean_reps", want),
+                jout["n8"].get("clean_reps", want)) < want
+        )
     if "n8" in jout and "n32" in jout:
         jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
 
