@@ -26,3 +26,32 @@ def test_oracle_keys_match_queries_exactly():
 
 def test_oracle_sql_strings_nonempty():
     assert all(isinstance(s, str) and s.strip() for s in E.oracle_sql().values())
+
+
+def test_scaling_eff_flags_steal_contended_windows():
+    """bench._scaling_eff marks a window where a child burned its extra
+    sample allowance without filling the clean-rep quota (the run5
+    shape: n8 1/5 clean reps), and leaves clean windows unflagged —
+    beside, never instead of, the raw efficiency number."""
+    import bench
+
+    contended = {
+        "n2": {"rate": 100.0, "rate_clean": 100.0, "cpu_ceiling": 0.9,
+               "clean_reps": 3},
+        "n8": {"rate": 300.0, "rate_clean": 310.0, "cpu_ceiling": 0.85,
+               "clean_reps": 1},
+    }
+    bench._scaling_eff(contended)
+    assert contended["efficiency"] == 0.75  # raw number still published
+    assert contended["window_steal_contended"] is True
+    assert contended["window_hardware_limited"] is False
+
+    clean = {
+        "n2": {"rate": 100.0, "rate_clean": 100.0, "cpu_ceiling": 0.9,
+               "clean_reps": 3},
+        "n8": {"rate": 340.0, "rate_clean": 340.0, "cpu_ceiling": 0.88,
+               "clean_reps": 3},
+    }
+    bench._scaling_eff(clean)
+    assert clean["efficiency"] == 0.85
+    assert clean["window_steal_contended"] is False
