@@ -26,12 +26,20 @@ Components:
   reports the median and the full list. Efficiency uses the medians.
 
 Wall-budget contract (round-5, VERDICT r4 ask #1): the whole run must
-finish inside $BENCH_WALL_BUDGET_S (default 1500 s). The budget is
+finish inside $BENCH_WALL_BUDGET_S (default 1800 s). The budget is
 checked between phases — main child → each scaling child → salt A/B —
 and remaining phases are SKIPPED (recorded in the JSON) once it is
 exceeded. The slim contract line is re-printed after EVERY phase, each
 print superseding the last, so even an external kill mid-run leaves a
 parseable final line with everything measured so far.
+
+Retry phase (round-5): if a scaling pair's measurement WINDOW is
+flagged (steal-contended rep shortfall, hardware-limited probe ratio,
+or >15% CPU-ceiling drift between the pair's two children), ONE second
+attempt runs if budget allows. Both attempts are always published
+under ``attempts`` and the better WINDOW (never the better efficiency)
+is selected — the criteria are deliberately blind to the measured
+efficiency so the retry can't become retry-until-pass.
 """
 
 from __future__ import annotations
@@ -663,6 +671,44 @@ def _scaling_eff(jout: dict) -> None:
         jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
 
 
+def _window_flagged(jout: dict) -> bool:
+    """True when the pair's measurement WINDOW is suspect: a child ran
+    short of clean reps, the probe ratio marked it hardware-limited, or
+    the two children's own CPU ceilings drifted >15% apart (the
+    children run minutes apart — drift means they measured different
+    boxes). Window criteria only; the efficiency value plays no part."""
+    if not ("n2" in jout and "n8" in jout):
+        return False
+    if jout.get("window_steal_contended") or jout.get("window_hardware_limited"):
+        return True
+    h2, h8 = jout["n2"].get("cpu_ceiling"), jout["n8"].get("cpu_ceiling")
+    return bool(h2 and h8 and not (0.85 <= h8 / h2 <= 1.15))
+
+
+def _window_rank(jout: dict) -> tuple:
+    """Orderable window quality: fewer flags, then more clean reps in
+    the weaker child, then the higher floor on the children's own CPU
+    ceilings. Deliberately blind to the measured efficiency."""
+    flags = int(bool(jout.get("window_steal_contended"))) + int(
+        bool(jout.get("window_hardware_limited"))
+    )
+    reps = min(jout.get("n2", {}).get("clean_reps") or 0,
+               jout.get("n8", {}).get("clean_reps") or 0)
+    ceil = min(jout.get("n2", {}).get("cpu_ceiling") or 0.0,
+               jout.get("n8", {}).get("cpu_ceiling") or 0.0)
+    return (-flags, reps, ceil)
+
+
+def _attempt_summary(jout: dict) -> dict:
+    out = {k: v for k, v in jout.items() if k not in ("n2", "n8", "n32", "attempts")}
+    for nk in ("n2", "n8"):
+        c = jout.get(nk) or {}
+        out[nk] = {"rate": c.get("rate"), "rate_clean": c.get("rate_clean"),
+                   "cpu_ceiling": c.get("cpu_ceiling"),
+                   "clean_reps": c.get("clean_reps")}
+    return out
+
+
 def _scaling_cores() -> list[int]:
     raw = os.environ.get("BENCH_SCALING_CORES", "2,8")
     return [int(c) for c in raw.split(",") if c.strip()]
@@ -864,7 +910,8 @@ def _slim(result: dict) -> dict:
         j = scaling.get(job)
         if not j:
             continue
-        slim_scaling[job] = {k: v for k, v in j.items() if not k.startswith("n")}
+        slim_scaling[job] = {k: v for k, v in j.items()
+                             if not k.startswith("n") and k != "attempts"}
         for nk in ("n2", "n8", "n32"):
             if nk in j:
                 slim_scaling[job][nk] = {
@@ -901,7 +948,11 @@ def main() -> None:
         return
 
     t_start = time.time()
-    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1500"))
+    # 1,800 s default: the seven r5 runs completed their core phases in
+    # 818-1,202 s, the driver tolerated r3's ~2× longer run, and the
+    # extra 300 s is what lets the flagged-window retry phase actually
+    # fire instead of always losing its budget check
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1800"))
 
     def remaining() -> float:
         return wall_budget - (time.time() - t_start)
@@ -1006,6 +1057,43 @@ def main() -> None:
             pass
     _clock("salt_ab", t_ph)
     result["salt_ab"] = salt_ab
+
+    # ---- retry phase: one second attempt for a scaling pair whose
+    # WINDOW was flagged (steal-contended, hardware-limited, or >15%
+    # probe drift between the two children). The trigger and the
+    # selection are window-quality criteria ONLY — never the efficiency
+    # value — and BOTH attempts are always published under `attempts`,
+    # so a retry can never quietly replace a clean-window miss.
+    if do_scaling:
+        for job in ("schedule", "parse"):
+            jout = scaling.get(job) or {}
+            if not _window_flagged(jout):
+                continue
+            pair_wall = phase_walls.get(f"{job}:n2", 0) + phase_walls.get(f"{job}:n8", 0)
+            if not pair_wall or remaining() < pair_wall * 1.2 + 60:
+                continue
+            t_ph = time.time()
+            retry: dict = {}
+            for cores in _scaling_cores():
+                if remaining() < 120:
+                    break
+                r = _run_child(job, cores, _child_n_urls(job, cores, SCALING_N),
+                               timeout_s=remaining())
+                if r is not None:
+                    retry[f"n{cores}"] = r
+            _clock(f"{job}:retry", t_ph)
+            if "n2" not in retry or "n8" not in retry:
+                continue
+            _scaling_eff(retry)
+            chosen, other, which = ((retry, jout, 2)
+                                    if _window_rank(retry) > _window_rank(jout)
+                                    else (jout, retry, 1))
+            chosen = dict(chosen)
+            chosen["attempts"] = [_attempt_summary(jout), _attempt_summary(retry)]
+            chosen["selected_attempt"] = which
+            scaling[job] = chosen
+            emit()
+            break  # at most one retried pair per run — bounded wall cost
 
     if do_scaling:
         t_ph = time.time()

@@ -55,3 +55,42 @@ def test_scaling_eff_flags_steal_contended_windows():
     bench._scaling_eff(clean)
     assert clean["efficiency"] == 0.85
     assert clean["window_steal_contended"] is False
+
+
+def test_window_flag_and_rank_are_blind_to_efficiency():
+    """Retry-phase criteria: flag on clean-rep shortfall, hardware
+    limit, or >15% inter-child probe drift; rank windows by flags →
+    clean reps → ceiling floor. The efficiency value must not enter
+    either decision (no retry-until-pass)."""
+    import bench
+
+    drifted = {  # run7 shape: both children clean, ceilings 17% apart
+        "n2": {"rate": 110.0, "rate_clean": 110.0, "cpu_ceiling": 0.925,
+               "clean_reps": 3},
+        "n8": {"rate": 329.0, "rate_clean": 329.0, "cpu_ceiling": 0.764,
+               "clean_reps": 3},
+    }
+    bench._scaling_eff(drifted)
+    assert bench._window_flagged(drifted)
+
+    clean_but_low_eff = {  # a clean window with eff 0.5 must NOT flag
+        "n2": {"rate": 100.0, "rate_clean": 100.0, "cpu_ceiling": 0.95,
+               "clean_reps": 3},
+        "n8": {"rate": 200.0, "rate_clean": 200.0, "cpu_ceiling": 0.96,
+               "clean_reps": 3},
+    }
+    bench._scaling_eff(clean_but_low_eff)
+    assert clean_but_low_eff["efficiency"] == 0.5
+    assert not bench._window_flagged(clean_but_low_eff)
+
+    # a retry with a WORSE window never replaces attempt 1, even if its
+    # efficiency is higher
+    contended_high_eff = {
+        "n2": {"rate": 100.0, "rate_clean": 100.0, "cpu_ceiling": 0.9,
+               "clean_reps": 2},
+        "n8": {"rate": 400.0, "rate_clean": 400.0, "cpu_ceiling": 0.9,
+               "clean_reps": 1},
+    }
+    bench._scaling_eff(contended_high_eff)
+    assert contended_high_eff["efficiency"] == 1.0
+    assert bench._window_rank(clean_but_low_eff) > bench._window_rank(contended_high_eff)
