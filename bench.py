@@ -1065,10 +1065,14 @@ def main() -> None:
     # value — and BOTH attempts are always published under `attempts`,
     # so a retry can never quietly replace a clean-window miss.
     if do_scaling:
-        for job in ("schedule", "parse"):
+        flagged = [j for j in ("schedule", "parse")
+                   if _window_flagged(scaling.get(j) or {})]
+        # worst-ranked window first: one retry per run, so it should go
+        # to the pair whose measurement was most degraded (still a
+        # window-quality criterion — efficiency never enters)
+        flagged.sort(key=lambda j: _window_rank(scaling[j]))
+        for job in flagged:
             jout = scaling.get(job) or {}
-            if not _window_flagged(jout):
-                continue
             pair_wall = phase_walls.get(f"{job}:n2", 0) + phase_walls.get(f"{job}:n8", 0)
             if not pair_wall or remaining() < pair_wall * 1.2 + 60:
                 continue

@@ -94,3 +94,27 @@ def test_window_flag_and_rank_are_blind_to_efficiency():
     bench._scaling_eff(contended_high_eff)
     assert contended_high_eff["efficiency"] == 1.0
     assert bench._window_rank(clean_but_low_eff) > bench._window_rank(contended_high_eff)
+
+
+def test_retry_order_prefers_worst_window():
+    """With both pairs flagged, the single retry goes to the pair whose
+    window rank is LOWER (more flags, fewer clean reps, lower ceiling
+    floor) — never by job name or efficiency."""
+    import bench
+
+    schedule = {  # one flag, 2 clean reps
+        "n2": {"rate": 100.0, "cpu_ceiling": 0.9, "clean_reps": 2},
+        "n8": {"rate": 300.0, "cpu_ceiling": 0.9, "clean_reps": 3},
+        "window_steal_contended": True,
+    }
+    parse = {  # two flags, 0 clean reps — strictly worse window
+        "n2": {"rate": 100.0, "cpu_ceiling": 0.7, "clean_reps": 0},
+        "n8": {"rate": 300.0, "cpu_ceiling": 0.6, "clean_reps": 0},
+        "window_steal_contended": True,
+        "window_hardware_limited": True,
+    }
+    assert bench._window_flagged(schedule) and bench._window_flagged(parse)
+    flagged = sorted(["schedule", "parse"],
+                     key=lambda j: bench._window_rank({"schedule": schedule,
+                                                       "parse": parse}[j]))
+    assert flagged[0] == "parse"
