@@ -146,6 +146,11 @@ class SnapshotStore:
         retained: list[int] = []
         cur: int | None = head
         while cur is not None and len(retained) < keep_last:
+            # an ancestor expired by a previous, tighter run has no
+            # manifest — the chain simply ends there (a re-expire with
+            # a larger keep_last must not crash on, or retain, it)
+            if not os.path.exists(os.path.join(self.root, "manifests", f"{cur}.json")):
+                break
             retained.append(cur)
             cur = self.manifest(cur).get("parent_id")
         keep = set(retained)

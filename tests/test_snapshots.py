@@ -122,3 +122,18 @@ def test_expire_edge_cases(spark, tmp_path):
     stats = store.expire(keep_last=5)  # window larger than history
     assert stats["retained"] == [0] and stats["removed_snapshots"] == []
     assert store.load_latest(spark)[0] == 0
+
+
+def test_re_expire_with_larger_window_stops_at_truncated_chain(spark, tmp_path):
+    """A previous expire(keep_last=2) deleted older manifests; a later
+    expire(keep_last=3) must neither crash on nor retain the expired
+    ancestor — the lineage walk ends where the manifests end."""
+    store = SnapshotStore(str(tmp_path / "snap"))
+    for i in range(4):
+        store.commit(i, {"t": _df(spark, 5 + i, "a")})
+    store.expire(keep_last=2)  # drops manifests 0 and 1
+    stats = store.expire(keep_last=3)  # wants 3, chain only has 2
+    assert stats["retained"] == [3, 2]
+    assert stats["removed_snapshots"] == []
+    assert store.load(spark, 2)["t"].count() == 7  # time-travel intact
+    assert store.load_latest(spark)[0] == 3
