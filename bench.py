@@ -26,7 +26,7 @@ Components:
   reports the median and the full list. Efficiency uses the medians.
 
 Wall-budget contract (round-5, VERDICT r4 ask #1): the whole run must
-finish inside $BENCH_WALL_BUDGET_S (default 1800 s). The budget is
+finish inside $BENCH_WALL_BUDGET_S (default 2100 s). The budget is
 checked between phases — main child → each scaling child → salt A/B —
 and remaining phases are SKIPPED (recorded in the JSON) once it is
 exceeded. The slim contract line is re-printed after EVERY phase, each
@@ -948,11 +948,16 @@ def main() -> None:
         return
 
     t_start = time.time()
-    # 1,800 s default: the seven r5 runs completed their core phases in
-    # 818-1,202 s, the driver tolerated r3's ~2× longer run, and the
-    # extra 300 s is what lets the flagged-window retry phase actually
-    # fire instead of always losing its budget check
-    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1800"))
+    # 2,100 s default: r5 runs complete their core phases in 818-1,366 s
+    # (contended brackets at the high end), and the driver demonstrably
+    # tolerated r3's longer protocol (5 reps × 3 child sizes incl. n32
+    # at 8M URLs — well past 2,500 s). The headroom over the core
+    # phases is what lets the flagged-window retry fire in CONTENDED
+    # runs — run10 showed 1,800 s leaves no room exactly when the
+    # windows are bad enough to need a retry (slow children eat the
+    # slack). Budget still checked between phases; killed-at-any-point
+    # still leaves a parseable final line.
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "2100"))
 
     def remaining() -> float:
         return wall_budget - (time.time() - t_start)
