@@ -249,7 +249,19 @@ def _parse_world_pages(spark):
 def parse_pages_bench(spark, pages=None, n=None) -> dict:
     """Full 4-type parse (from_json + HOF extraction + the html→text Arrow
     UDF) over a generated world — the parse half of the BASELINE metric.
-    Embarrassingly parallel: no join, no shuffle, pure per-page work."""
+    Embarrassingly parallel: no join, no shuffle, pure per-page work.
+
+    Runs the engine's ``parse_round`` the way the crawl loop does: each
+    type's extraction is persisted so rows + candidates share ONE
+    tokenization per page, and the four types materialize CONCURRENTLY
+    (one thread per type: rows first — populating the cache — then
+    candidates). Concurrent driver actions keep cores busy across each
+    job's scheduling gaps and straggler tails, which is exactly how a
+    real pipeline submits independent sinks; sequential submission made
+    the per-action fixed cost a visible share of an 8-core rep (r5
+    run12: 0.733 raw 2→8 in a flag-free window)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from frontier_engine import parse as P
     from frontier_engine.config import EngineConfig
     from frontier_engine.fixtures import WorldSpec
@@ -261,15 +273,17 @@ def parse_pages_bench(spark, pages=None, n=None) -> dict:
     args = P.CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
     cfg = EngineConfig()
     t0 = time.time()
-    for ptype, fn in (
-        ("landing", lambda d: P.parse_landing(d, args, cfg)),
-        ("search", lambda d: P.parse_search(d, args, cfg)),
-        ("pdp", lambda d: P.parse_pdp(d, cfg)),
-        ("reviews", lambda d: P.parse_reviews(d, cfg)),
-    ):
-        rows, cands = fn(pages.where(P.page_type_col() == ptype))
-        _noop(rows)
-        _noop(cands)
+    pround = P.parse_round(pages, args, cfg)
+
+    def run_type(ptype):
+        rows, cands = pround.by_type[ptype]
+        _noop(rows)   # materializes the persisted extraction
+        _noop(cands)  # cache hit: projection only, no re-tokenization
+        return ptype
+
+    with ThreadPoolExecutor(max_workers=len(P.PARSE_TYPES)) as ex:
+        list(ex.map(run_type, P.PARSE_TYPES))
+    pround.unpersist()
     dt = time.time() - t0
     return {"pages": n, "sec": round(dt, 2), "pages_per_sec": round(n / dt, 1)}
 

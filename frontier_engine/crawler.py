@@ -337,24 +337,11 @@ def run_crawl(
         fetched, missing = fetch_batch(batch, pages)
         fetched = fetched.cache()
 
-        typed = fetched.withColumn("page_type", P.page_type_col())
-        parts = {}
-        cand_frames = []
-        out_landing, c = P.parse_landing(typed.where(F.col("page_type") == "landing"), args, cfg)
-        cand_frames.append(c)
-        res, c = P.parse_search(typed.where(F.col("page_type") == "search"), args, cfg)
-        parts["search_results"] = res
-        cand_frames.append(c)
-        pdp, c = P.parse_pdp(typed.where(F.col("page_type") == "pdp"), cfg)
-        parts["pdp_rows"] = pdp
-        cand_frames.append(c)
-        rev, c = P.parse_reviews(typed.where(F.col("page_type") == "reviews"), cfg)
-        parts["review_rows"] = rev
-        cand_frames.append(c)
-
-        candidates = cand_frames[0]
-        for cdf in cand_frames[1:]:
-            candidates = candidates.unionByName(cdf)
+        # one tokenization per page: rows and candidates project from the
+        # persisted per-type extraction intermediates (parse.parse_round)
+        pround = P.parse_round(fetched, args, cfg)
+        parts = pround.parts
+        candidates = pround.candidates
 
         new_pending, new_blocked, shards_dirty, unseen, n_new, cache_handle = _ingest_candidates(
             candidates, shards, seen_store.parts(), rules, cfg, seq_offset
@@ -424,6 +411,7 @@ def run_crawl(
 
         shards = sstate.view()
         batch.unpersist()
+        pround.unpersist()
         fetched.unpersist()
         cache_handle.unpersist()  # the ACTUAL persisted frame (not the derived unseen)
 

@@ -21,6 +21,9 @@ Reference citations (``/root/reference/...``):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -543,10 +546,11 @@ def page_type_col(url: Column = None) -> Column:
     )
 
 
-def parse_landing(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
-    """Landing page → first search URL (airbnb.py:129-147). The deferred-state
-    script is unwrapped (P2): regexp script extraction + `^StaysSearch:`
-    strip on element [0][0] — all JVM-side."""
+def _landing_pre(df: DataFrame) -> DataFrame:
+    """Landing extraction stage: the heavy work (regexp over the full html
+    bytes + deferred-state sniff) reduced to a 4-narrow-column frame —
+    the unit ``parse_round`` persists so rows and candidates share ONE
+    pass over the page bytes."""
     html_str = F.decode(F.col("html"), "UTF-8")
     script = F.regexp_extract(html_str, r'<script id="data-deferred-state">(.*?)</script>', 1)
     first_elem = F.get_json_object(script, "$.niobeMinimalClientData[0][0]")
@@ -554,12 +558,17 @@ def parse_landing(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[Da
     query = F.regexp_replace(
         F.regexp_replace(F.regexp_extract(F.col("url"), r"/s/(.+)/homes", 1), "--", ", "), "-", " "
     )
-    parsed = df.select(
+    return df.select(
         F.col("url").alias("parent_url"),
         F.col("host"),
         query.alias("query"),
         deferred_ok.alias("deferred_ok"),
     )
+
+
+def _landing_outputs(
+    parsed: DataFrame, args: CrawlArgs, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame]:
     out = parsed
     candidates = parsed.where(F.col("deferred_ok")).select(
         search_url_expr(F.col("host"), first_search_request(F.col("query"), args, cfg)).alias("url"),
@@ -570,24 +579,35 @@ def parse_landing(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[Da
     return out, candidates
 
 
-def parse_search(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
-    """Search API page → search_results rows + {next-page, PDP} candidates
-    (airbnb.py:149-175, 198-233, 241-270)."""
-    has_checkin = args.checkin is not None
-    price_max = args.price_max
+def parse_landing(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+    """Landing page → first search URL (airbnb.py:129-147). The deferred-state
+    script is unwrapped (P2): regexp script extraction + `^StaysSearch:`
+    strip on element [0][0] — all JVM-side."""
+    return _landing_outputs(_landing_pre(df), args, cfg)
 
-    # two-step projection: one from_json evaluation (see parse_pdp)
+
+def _search_pre(df: DataFrame) -> DataFrame:
+    """Search extraction stage: ONE from_json tokenization per page,
+    projected to the page-level fields every downstream output needs
+    (see parse_pdp for why the two-step shape keeps it to one eval)."""
     parsed = df.select(
         "url", "host", F.from_json(F.col("text"), SEARCH_SCHEMA).alias("_r")
     )
     explore = F.col("_r")["data"]["dora"]["exploreV3"]
-    base = parsed.select(
+    return parsed.select(
         F.col("url").alias("page_url"),
         F.col("host"),
         explore["metadata"]["paginationMetadata"].alias("pagination"),
         explore["metadata"]["geography"].alias("geography"),
         explore["sections"].alias("sections"),
     )
+
+
+def _search_outputs(
+    base: DataFrame, args: CrawlArgs, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame]:
+    has_checkin = args.checkin is not None
+    price_max = args.price_max
 
     # --- listings: explode matching sections then items (airbnb.py:241-270)
     items = base.select(
@@ -678,6 +698,12 @@ def parse_search(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[Dat
     return results, page_next.unionByName(pdp_cands)
 
 
+def parse_search(df: DataFrame, args: CrawlArgs, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+    """Search API page → search_results rows + {next-page, PDP} candidates
+    (airbnb.py:149-175, 198-233, 241-270)."""
+    return _search_outputs(_search_pre(df), args, cfg)
+
+
 def listing_score_expr(listing_id: Column) -> Column:
     """Deterministic [0,100) score from the listing id — the priority input
     (FIXTURES.md §2). Must match fixtures.listing_score: both use
@@ -701,9 +727,17 @@ def parse_pdp(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     verified in the executed plan); the two-step shape leaves exactly
     one. CollapseProject keeps it split because from_json is non-cheap
     and multiply-referenced."""
-    parsed = df.select(
+    return _pdp_outputs(_pdp_pre(df), cfg)
+
+
+def _pdp_pre(df: DataFrame) -> DataFrame:
+    """PDP extraction stage: the single from_json tokenization."""
+    return df.select(
         "url", "host", F.from_json(F.col("text"), PDP_SCHEMA).alias("_r")
     )
+
+
+def _pdp_outputs(parsed: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     pdp = F.col("_r")["data"]["merlin"]["pdpSections"]
     sections = pdp["sections"]
 
@@ -777,13 +811,20 @@ def parse_reviews(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFram
     (PdpReviews.py:13-42). Offsets ascend `range(limit, total, limit)`
     (PdpReviews.py:20-21) — generated in ONE round via sequence+explode
     (SURVEY §2.1 S4), replacing the reference's blocking loop."""
-    # two-step projection: one from_json evaluation for the page text AND
-    # one for the URL-param parse-back (see parse_pdp)
-    parsed = df.select(
+    return _reviews_outputs(_reviews_pre(df), cfg)
+
+
+def _reviews_pre(df: DataFrame) -> DataFrame:
+    """Reviews extraction stage: one from_json evaluation for the page
+    text AND one for the URL-param parse-back (see parse_pdp)."""
+    return df.select(
         "url", "host",
         F.from_json(F.col("text"), REVIEWS_SCHEMA).alias("_r"),
         reviews_request_of(F.col("url")).alias("_req"),
     )
+
+
+def _reviews_outputs(parsed: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     pr = F.col("_r")["data"]["merlin"]["pdpReviews"]
     req = F.col("_req")
 
@@ -819,6 +860,87 @@ def parse_reviews(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFram
         listing_score_expr(F.col("listing_id")).alias("listing_score"),
     )
     return rows, cands
+
+
+# --------------------------------------------------------------------------
+# parse_round — one tokenization per page for a mixed-type fetched batch
+# --------------------------------------------------------------------------
+
+PARSE_TYPES = ("landing", "search", "pdp", "reviews")
+
+
+@dataclass
+class ParseRound:
+    """Outputs of one parse round over a fetched batch.
+
+    ``by_type`` maps page type → (rows, candidates); ``parts`` maps the
+    crawl output-table name → rows frame; ``candidates`` is the unioned
+    frontier-candidate frame. ``handles`` are the persisted per-type
+    extraction intermediates — the caller MUST call :meth:`unpersist`
+    after the round's outputs are materialized."""
+
+    by_type: dict[str, tuple[DataFrame, DataFrame]]
+    parts: dict[str, DataFrame]
+    candidates: DataFrame
+    handles: list[DataFrame]
+
+    def unpersist(self) -> None:
+        for h in self.handles:
+            h.unpersist()
+
+
+def parse_round(
+    pages: DataFrame, args: CrawlArgs, cfg: EngineConfig, persist: bool = True
+) -> ParseRound:
+    """Parse a mixed-type fetched batch with ONE tokenization per page.
+
+    The reference's Scrapy callbacks parse each response exactly once
+    (airbnb.py:129-175, PdpPlatformSections.py:94-177): a callback both
+    yields items AND schedules follow-up requests from the same parsed
+    object. Under lazy evaluation the naive translation loses that
+    property: materializing a type's rows and its candidates as separate
+    actions re-evaluates the shared lineage, and although Catalyst
+    schema-prunes each ``from_json``, every pruned evaluation still
+    tokenizes the FULL page text — a search page paid it 3× (rows,
+    next-page branch, PDP-candidate branch), pdp/reviews/landing 2×.
+
+    Here each type's extraction stage (``_*_pre``: the from_json / html
+    regexp pass, projected to the post-extraction columns) is persisted
+    MEMORY_AND_DISK, so the rows sink and the candidate path share one
+    physical pass per page; outputs are cheap projections of the cached
+    frame. At cluster scale the persisted unit is a per-round fetched
+    batch (bounded by the politeness budget), not the corpus.
+
+    *pages* needs (url, host, html, text); a ``page_type`` column is
+    used if present, else derived via :func:`page_type_col`.
+    """
+    typed = pages if "page_type" in pages.columns else pages.withColumn(
+        "page_type", page_type_col()
+    )
+    handles: list[DataFrame] = []
+
+    def pre(ptype: str, fn) -> DataFrame:
+        p = fn(typed.where(F.col("page_type") == ptype))
+        if persist:
+            p = p.persist(StorageLevel.MEMORY_AND_DISK)
+            handles.append(p)
+        return p
+
+    by_type = {
+        "landing": _landing_outputs(pre("landing", _landing_pre), args, cfg),
+        "search": _search_outputs(pre("search", _search_pre), args, cfg),
+        "pdp": _pdp_outputs(pre("pdp", _pdp_pre), cfg),
+        "reviews": _reviews_outputs(pre("reviews", _reviews_pre), cfg),
+    }
+    parts = {
+        "search_results": by_type["search"][0],
+        "pdp_rows": by_type["pdp"][0],
+        "review_rows": by_type["reviews"][0],
+    }
+    candidates = by_type["landing"][1]
+    for t in ("search", "pdp", "reviews"):
+        candidates = candidates.unionByName(by_type[t][1])
+    return ParseRound(by_type, parts, candidates, handles)
 
 
 # --------------------------------------------------------------------------
