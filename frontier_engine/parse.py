@@ -676,14 +676,41 @@ def _search_outputs(
         results = results.where(F.col("room_type").isin(list(cfg.room_types)))
 
     # --- pagination candidate (airbnb.py:155-163): re-derive request params
-    # from the page URL (P19) and set itemsOffset
-    req = search_request_of(F.col("page_url"))
-    next_req = req.withField("itemsOffset", F.col("pagination")["itemsOffset"])
-    page_next = base.where(F.col("pagination")["hasNextPage"]).select(
-        search_url_expr(F.col("host"), next_req).alias("url"),
-        F.col("page_url").alias("parent_url"),
-        F.lit(1).alias("depth"),
-        F.lit(0.0).alias("listing_score"),
+    # from the page URL (P19) and set itemsOffset. Two-step projection for
+    # the same reason as the page body (see parse_pdp), with one twist:
+    # the natural ``_req.withField("itemsOffset", ...)`` form references
+    # the alias ONCE, so CollapseProject legally merges the projections —
+    # and the later UpdateFields expansion then duplicates the P19
+    # from_json once per request field (6 tokenizations of the URL's
+    # ``variables`` JSON per page, plan-verified). Assembling the next
+    # request as an explicit struct references ``_req`` per field, which
+    # makes the alias multiply-referenced and non-cheap → the collapse is
+    # refused and exactly one from_json survives (guarded in
+    # tests/test_parse_round.py). Field order/names/types must mirror
+    # SEARCH_REQUEST_SCHEMA for to_json byte parity.
+    next_req = F.when(
+        F.col("_req").isNotNull(),  # null-struct parity with withField
+        F.struct(
+            F.col("_req")["checkin"].alias("checkin"),
+            F.col("_req")["checkout"].alias("checkout"),
+            F.col("pagination")["itemsOffset"].cast("int").alias("itemsOffset"),
+            F.col("_req")["itemsPerGrid"].alias("itemsPerGrid"),
+            F.col("_req")["priceMax"].alias("priceMax"),
+            F.col("_req")["query"].alias("query"),
+        ),
+    )
+    page_next = (
+        base.where(F.col("pagination")["hasNextPage"])
+        .select(
+            "page_url", "host", "pagination",
+            search_request_of(F.col("page_url")).alias("_req"),
+        )
+        .select(
+            search_url_expr(F.col("host"), next_req).alias("url"),
+            F.col("page_url").alias("parent_url"),
+            F.lit(1).alias("depth"),
+            F.lit(0.0).alias("listing_score"),
+        )
     )
 
     # --- PDP candidates, one per listing (airbnb.py:169-175); listing_score

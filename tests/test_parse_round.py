@@ -78,6 +78,16 @@ class TestPlanShape:
         outside_cache = plan.split("InMemoryRelation")[0]
         assert "exploreV3" not in outside_cache
 
+    def test_next_page_p19_parses_url_variables_once(self, pround):
+        """The next-page branch re-derives request params from the page
+        URL (P19). ``_req.withField(...)`` references the alias once, so
+        CollapseProject merges the projections and the UpdateFields
+        expansion then duplicates the from_json per request field (6
+        URL-variables tokenizations per page). The explicit-struct form
+        in _search_outputs keeps it to one."""
+        plan = pround.by_type["search"][1]._jdf.queryExecution().executedPlan().toString()
+        assert plan.split("InMemoryRelation")[0].count("ParseUrlEvaluator") <= 1
+
     def test_persist_false_skips_caching(self, pages_df, args, cfg):
         pr = P.parse_round(pages_df, args, cfg, persist=False)
         assert pr.handles == []
