@@ -103,6 +103,30 @@ def main():
         f"{'Exchange hashpartitioning' not in pf}"
     )
 
+    print("=" * 20, "7. parse_round (one tokenization per page: outputs scan the cache)")
+    from frontier_engine import parse as P
+    from frontier_engine.fixtures import WorldSpec, generate_world
+
+    spec = WorldSpec()
+    world_pages = with_canon_columns(spark.createDataFrame(generate_world(spec)["pages"]))
+    args = P.CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
+    pr = P.parse_round(world_pages, args, EngineConfig())
+    for ptype in P.PARSE_TYPES:
+        for kind, df in zip(("rows", "cands"), pr.by_type[ptype]):
+            pp = plan(df)
+            outside = pp.split("InMemoryRelation")[0]
+            # struct-field paths over the cached extraction legitimately
+            # print schema names (merlin/exploreV3); an actual
+            # re-tokenization prints a from_json node outside the cache
+            # (the P19 URL-variables parse-back in search.cands is the
+            # one expected from_json: ~100-byte input, 1 eval)
+            print(
+                f"AUDIT parse_round {ptype}.{kind} cachedScan={'InMemoryTableScan' in pp} "
+                f"fromJsonOutsideCache={outside.count('from_json')} "
+                f"p19EvalsOutsideCache={outside.count('ParseUrlEvaluator')}"
+            )
+    pr.unpersist()
+
     spark.stop()
 
 
