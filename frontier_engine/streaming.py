@@ -29,15 +29,23 @@ from frontier_engine import parse as P
 from frontier_engine.config import EngineConfig
 
 
-def parse_micro_batch(batch_df: DataFrame, args: P.CrawlArgs, cfg: EngineConfig) -> dict[str, DataFrame]:
-    """The shared per-micro-batch parse (same functions as the batch round)."""
-    typed = batch_df.withColumn("page_type", P.page_type_col())
-    out = {}
-    out["search_results"], c1 = P.parse_search(typed.where(F.col("page_type") == "search"), args, cfg)
-    out["pdp_rows"], c2 = P.parse_pdp(typed.where(F.col("page_type") == "pdp"), cfg)
-    out["review_rows"], c3 = P.parse_reviews(typed.where(F.col("page_type") == "reviews"), cfg)
-    out["candidates"] = c1.unionByName(c2).unionByName(c3)
-    return out
+def parse_micro_batch(
+    batch_df: DataFrame, args: P.CrawlArgs, cfg: EngineConfig
+) -> tuple[dict[str, DataFrame], P.ParseRound]:
+    """The shared per-micro-batch parse (same one-tokenization
+    ``parse_round`` as the batch crawl loop). Returns the output dict
+    plus the ParseRound whose persisted intermediates the caller MUST
+    unpersist after materializing the outputs. Candidates keep this
+    sink's historical surface: API-page follow-ups only (no landing
+    fan-out — stream_pages is a parse sink, not a frontier feeder)."""
+    pr = P.parse_round(batch_df, args, cfg)
+    out = dict(pr.parts)
+    out["candidates"] = (
+        pr.by_type["search"][1]
+        .unionByName(pr.by_type["pdp"][1])
+        .unionByName(pr.by_type["reviews"][1])
+    )
+    return out, pr
 
 
 def stream_pages(
@@ -65,11 +73,12 @@ def stream_pages(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        outs = parse_micro_batch(batch_df, args, cfg)
+        outs, pround = parse_micro_batch(batch_df, args, cfg)
         for name, df in outs.items():
             df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
                 f"{out_dir}/{name}"
             )
+        pround.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
@@ -642,23 +651,10 @@ def run_crawl_stream(
 
         fetched, missing = fetch_batch(batch, pages)
         fetched = fetched.cache()
-        typed = fetched.withColumn("page_type", P.page_type_col())
-        parts = {}
-        cand_frames = []
-        _out, c = P.parse_landing(typed.where(F.col("page_type") == "landing"), args, cfg)
-        cand_frames.append(c)
-        res, c = P.parse_search(typed.where(F.col("page_type") == "search"), args, cfg)
-        parts["search_results"] = res
-        cand_frames.append(c)
-        pdp, c = P.parse_pdp(typed.where(F.col("page_type") == "pdp"), cfg)
-        parts["pdp_rows"] = pdp
-        cand_frames.append(c)
-        rev, c = P.parse_reviews(typed.where(F.col("page_type") == "reviews"), cfg)
-        parts["review_rows"] = rev
-        cand_frames.append(c)
-        candidates = cand_frames[0]
-        for cdf in cand_frames[1:]:
-            candidates = candidates.unionByName(cdf)
+        # one tokenization per page, same as run_crawl (parse.parse_round)
+        pround = P.parse_round(fetched, args, cfg)
+        parts = pround.parts
+        candidates = pround.candidates
 
         status_updates = (
             fetched.select("url_hash").withColumn("new_status", F.lit("fetched"))
@@ -721,6 +717,7 @@ def run_crawl_stream(
         # (kept until here so an ingest-phase replay could re-read it)
         shutil.rmtree(os.path.join(mstash_dir, f"round-{rnd - 1}"), ignore_errors=True)
         batch.unpersist()
+        pround.unpersist()
         fetched.unpersist()
 
     src = spark.readStream.schema(
