@@ -1115,7 +1115,12 @@ def _bpe_pack_oracle_sql() -> str:
             SELECT doc_id, s_off, t, (s_off // 64) + i AS seq_id
             FROM (SELECT doc_id, t,
                          (SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - t)::BIGINT AS s_off
-                  FROM {toks_cte}) c, (SELECT unnest(range(0, 16)) AS i)
+                  FROM {toks_cte}) c,
+                 -- span-count bound DERIVED from the data (a doc of t
+                 -- tokens spans at most t//64 + 2 sequences), never a
+                 -- hard-coded cap the engine side doesn't share
+                 (SELECT unnest(range(0, (SELECT COALESCE(MAX(t), 0) // 64 + 2
+                                          FROM {toks_cte}))) AS i)
             WHERE (s_off // 64) + i <= ((s_off + t - 1) // 64)
           )"""
 

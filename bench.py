@@ -619,7 +619,12 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int | None = No
     spark.stop()
 
 
-def _run_child(job: str, cores: int, n_urls: int, timeout_s: float = 2400) -> dict | None:
+def _run_child(job: str, cores: int, n_urls: int, timeout_s: float = 2400) -> dict:
+    """Run one scaling child. Always returns a dict: the parsed
+    SCALING_RESULT on success, else {"_fail": reason[, stderr_tail]} so
+    the artifact attributes a timeout to the wall budget and a crash
+    (OOM, Spark init failure, unhandled exception) to the child — never
+    the wrong cause (the published runs are self-explaining evidence)."""
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
@@ -628,11 +633,14 @@ def _run_child(job: str, cores: int, n_urls: int, timeout_s: float = 2400) -> di
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
-        return None
+        return {"_fail": "timeout"}
     for line in p.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
-    return None
+    return {
+        "_fail": f"no SCALING_RESULT (rc={p.returncode})",
+        "stderr_tail": (p.stderr or "")[-400:],
+    }
 
 
 def _scaling_eff(jout: dict) -> None:
@@ -714,9 +722,14 @@ def _window_rank(jout: dict) -> tuple:
 
 
 def _attempt_summary(jout: dict) -> dict:
+    """Four-field projection of each scaling child plus the job-level
+    scalars — the ONE slimming used both for `attempts` records and for
+    the slim contract line (_slim), so the two can't drift apart."""
     out = {k: v for k, v in jout.items() if k not in ("n2", "n8", "n32", "attempts")}
-    for nk in ("n2", "n8"):
-        c = jout.get(nk) or {}
+    for nk in ("n2", "n8", "n32"):
+        if nk not in jout:
+            continue
+        c = jout[nk] or {}
         out[nk] = {"rate": c.get("rate"), "rate_clean": c.get("rate_clean"),
                    "cpu_ceiling": c.get("cpu_ceiling"),
                    "clean_reps": c.get("clean_reps")}
@@ -729,12 +742,19 @@ def _scaling_cores() -> list[int]:
 
 
 def _child_n_urls(job: str, cores: int, n_urls: int) -> int:
-    """Schedule children scale the input with cores (the n2 child at the
-    full 8M corpus alone cost ~27 min in r4 — the single biggest wall
-    sink). Throughput is a rate, so the 2→8 pair compares urls/sec on
-    inputs where per-rep compute still dominates fixed cost (~45 s/rep
-    at 2M/2 cores vs ~1 s of per-rep constant). Parse children share one
-    cached corpus (the world generator is the expensive part)."""
+    """Schedule children scale the input with cores — 2M at 2 cores vs
+    8M at 8 cores is 1M URLs/core either way, i.e. a WEAK-SCALING
+    protocol (constant per-core work, Gustafson), which is the measure
+    that actually transfers to a cluster growing data with executors.
+    Stated plainly because it mixes a data-size axis into the ratio: a
+    strong-scaling read (same input both sides) would confound the n2
+    child with 27 min of wall (the r4 budget sink) or the n8 child with
+    fixed-cost amortization at 2M. Throughput is a rate, so efficiency
+    = (rate_8 / rate_2) / 4 is exact under either protocol when per-URL
+    cost is size-invariant; the superlinear-artifact guard (window
+    flags + retry) covers the cases where it isn't. Parse children
+    share one cached corpus at BOTH core counts (the world generator is
+    the expensive part), so parse is strong-scaling."""
     if job == "schedule" and cores <= 2:
         return max(n_urls // 4, 500_000)
     return n_urls
@@ -924,16 +944,8 @@ def _slim(result: dict) -> dict:
         j = scaling.get(job)
         if not j:
             continue
-        slim_scaling[job] = {k: v for k, v in j.items()
-                             if not k.startswith("n") and k != "attempts"}
-        for nk in ("n2", "n8", "n32"):
-            if nk in j:
-                slim_scaling[job][nk] = {
-                    "rate": j[nk]["rate"], "rate_clean": j[nk].get("rate_clean"),
-                    "cpu_ceiling": j[nk].get("cpu_ceiling"),
-                    "clean_reps": j[nk].get("clean_reps"),
-                }
-    for extra in ("steal_jiffies_delta", "skipped_budget"):
+        slim_scaling[job] = _attempt_summary(j)
+    for extra in ("steal_jiffies_delta", "skipped_budget", "child_failures"):
         if extra in scaling:
             slim_scaling[extra] = scaling[extra]
     slim = dict(result)
@@ -1050,8 +1062,14 @@ def main() -> None:
                 t_ph = time.time()
                 r = _run_child(job, cores, n_child, timeout_s=remaining())
                 _clock(f"{job}:n{cores}", t_ph)
-                if r is None:
-                    scaling.setdefault("skipped_budget", []).append(f"{job}:n{cores}")
+                if "_fail" in r:
+                    if r["_fail"] == "timeout":
+                        # timeout_s == remaining(): genuinely the budget
+                        scaling.setdefault("skipped_budget", []).append(
+                            f"{job}:n{cores}")
+                    else:
+                        scaling.setdefault("child_failures", []).append(
+                            {"pair": f"{job}:n{cores}", **r})
                     continue
                 jout[f"n{cores}"] = r
                 _scaling_eff(jout)
@@ -1102,15 +1120,18 @@ def main() -> None:
                     break
                 r = _run_child(job, cores, _child_n_urls(job, cores, SCALING_N),
                                timeout_s=remaining())
-                if r is not None:
+                if "_fail" not in r:
                     retry[f"n{cores}"] = r
+                else:
+                    scaling.setdefault("child_failures", []).append(
+                        {"pair": f"{job}:retry:n{cores}", **r})
             _clock(f"{job}:retry", t_ph)
             if "n2" not in retry or "n8" not in retry:
                 continue
             _scaling_eff(retry)
-            chosen, other, which = ((retry, jout, 2)
-                                    if _window_rank(retry) > _window_rank(jout)
-                                    else (jout, retry, 1))
+            chosen, which = ((retry, 2)
+                             if _window_rank(retry) > _window_rank(jout)
+                             else (jout, 1))
             chosen = dict(chosen)
             chosen["attempts"] = [_attempt_summary(jout), _attempt_summary(retry)]
             chosen["selected_attempt"] = which

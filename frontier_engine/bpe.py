@@ -107,6 +107,7 @@ def bpe_train(
     words = words.select(_word_segments(F.col("w")).alias("toks"), "cnt").localCheckpoint(
         eager=True
     )
+    ckpt = words  # last CHECKPOINTED frame (the handle unpersist releases)
 
     merges: list[tuple[str, str]] = []
     for k in range(num_merges):
@@ -139,9 +140,10 @@ def bpe_train(
         pat, rep = _merge_pat(l, r)
         words = words.withColumn("toks", F.replace("toks", F.lit(pat), F.lit(rep)))
         if (k + 1) % checkpoint_every == 0:
-            prev = words
             words = words.localCheckpoint(eager=True)
-            prev.unpersist()
+            ckpt.unpersist()  # release the superseded checkpoint's blocks
+            ckpt = words
+    ckpt.unpersist()  # training returns a plain list; nothing outlives it
     return merges
 
 

@@ -115,6 +115,21 @@ def _parse_candidates(
     return out
 
 
+def robots_rules_for_world(pages: dict[str, str], cfg: EngineConfig) -> dict[str, dict]:
+    """Per-host robots rules for a {url: body} world, selecting UA
+    groups with cfg.user_agent — exactly as the engine's
+    robots.rules_from_pages does, so a world with UA-specific groups
+    cannot diverge between simulator and engine."""
+    rules: dict[str, dict] = {}
+    for url, body in pages.items():
+        if url.endswith("/robots.txt"):
+            rules[host_of(url)] = parse_robots_txt(
+                body, cfg.download_delay_s, cfg.concurrent_per_host,
+                user_agent=cfg.user_agent,
+            )
+    return rules
+
+
 def simulate(
     spec: WorldSpec,
     pages: dict[str, str],
@@ -126,12 +141,7 @@ def simulate(
     args = args or CrawlArgs(spec.checkin, spec.checkout, spec.price_max)
 
     # robots rules per host (framework pre-fetch)
-    rules: dict[str, dict] = {}
-    for url, body in pages.items():
-        if url.endswith("/robots.txt"):
-            rules[host_of(url)] = parse_robots_txt(
-                body, cfg.download_delay_s, cfg.concurrent_per_host
-            )
+    rules = robots_rules_for_world(pages, cfg)
 
     def allowed(url: str) -> bool:
         if not cfg.robots_obey:

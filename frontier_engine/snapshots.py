@@ -154,11 +154,29 @@ class SnapshotStore:
             retained.append(cur)
             cur = self.manifest(cur).get("parent_id")
         keep = set(retained)
-        referenced = {
-            os.path.normpath(info["path"])
-            for sid in retained
-            for info in self.manifest(sid)["tables"].values()
-        }
+        # A retained manifest references data two ways: its own tables,
+        # and — for the crawl store — the ``meta`` state blocks
+        # (frontier base/delta/status chains, shard chains) that point
+        # at EARLIER snapshots' table dirs which the head state still
+        # reads (crawler commits each round's delta as that round's
+        # table; the live view is the union across rounds). Walk the
+        # whole manifest for any string that is a path under the store
+        # root, so resume/time-travel to a retained snapshot keeps
+        # working no matter how the meta is shaped.
+        def _paths_in(obj) -> set[str]:
+            if isinstance(obj, str):
+                p = os.path.normpath(obj)
+                root = os.path.normpath(self.root)
+                return {p} if p == root or p.startswith(root + os.sep) else set()
+            if isinstance(obj, dict):
+                return set().union(*(_paths_in(v) for v in obj.values()), set())
+            if isinstance(obj, (list, tuple)):
+                return set().union(*(_paths_in(v) for v in obj), set())
+            return set()
+
+        referenced = set().union(
+            *(_paths_in(self.manifest(sid)) for sid in retained), set()
+        )
         removed_snaps, removed_files, freed = [], 0, 0
         mdir = os.path.join(self.root, "manifests")
         for fname in sorted(os.listdir(mdir)):
@@ -175,7 +193,14 @@ class SnapshotStore:
                 continue
             for snap in sorted(os.listdir(tpath)):
                 spath = os.path.normpath(os.path.join(tpath, snap))
-                if not snap.startswith("snap-") or spath in referenced:
+                if not snap.startswith("snap-"):
+                    continue
+                if any(
+                    r == spath
+                    or r.startswith(spath + os.sep)
+                    or spath.startswith(r + os.sep)
+                    for r in referenced
+                ):
                     continue
                 for base, _dirs, files in os.walk(spath, topdown=False):
                     for f in files:

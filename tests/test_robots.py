@@ -282,3 +282,37 @@ def test_split_allowed_plan_is_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert allowed.where(F.col("url") == "https://h/x/123").count() == 0
     assert allowed.where(F.col("url") == "https://h/x/124").count() == 1
+
+
+def test_simulator_selects_ua_group_like_engine(spark):
+    """Parity pin for UA-group selection: a robots body with a group
+    matching the engine's cfg.user_agent must produce the SAME verdicts
+    from the simulator twin and the Spark engine. (Before r5 the
+    simulator parsed with the '*' default — masked only because the
+    fixture worlds never declare UA-specific groups.)"""
+    from frontier_engine.simulator import robots_rules_for_world
+    from frontier_engine.robots import match_path, RULES_SCHEMA
+
+    cfg = EngineConfig()
+    body = (
+        "User-agent: frontier-engine\nDisallow: /\nAllow: /open/\n\n"
+        "User-agent: *\nDisallow: /private/\n"
+    )
+    world = {"https://ua.example/robots.txt": body}
+    sim_rules = robots_rules_for_world(world, cfg)
+    pairs = [(d["pattern"], d["allow"]) for d in sim_rules["ua.example"]["rules"]]
+    # the engine-UA group (block all, allow /open/) must win, not '*'
+    assert not match_path(pairs, "/anything")
+    assert match_path(pairs, "/open/x")
+
+    eng = rules_from_pages(
+        spark.createDataFrame(list(world.items()), "url string, text string"), cfg
+    )
+    cand = spark.createDataFrame(
+        [("ua.example", "https://ua.example/anything"),
+         ("ua.example", "https://ua.example/open/x")],
+        "host string, url string",
+    )
+    allowed, blocked = split_allowed(cand, eng, cfg)
+    assert {r.url for r in allowed.collect()} == {"https://ua.example/open/x"}
+    assert {r.url for r in blocked.collect()} == {"https://ua.example/anything"}

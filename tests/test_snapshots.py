@@ -137,3 +137,38 @@ def test_re_expire_with_larger_window_stops_at_truncated_chain(spark, tmp_path):
     assert stats["removed_snapshots"] == []
     assert store.load(spark, 2)["t"].count() == 7  # time-travel intact
     assert store.load_latest(spark)[0] == 3
+
+
+def test_expire_keeps_meta_referenced_delta_chains(spark, tmp_path):
+    """The crawl store commits each round's frontier delta as THAT
+    round's table and records the live union chain in the manifest
+    ``meta`` (crawler.py: fstate.to_meta() → base_paths/delta_paths/
+    status_paths). expire() must treat meta-referenced dirs as live —
+    keep_last=2 after 6 non-compacting rounds would otherwise delete
+    rounds 0-3's delta dirs out from under the head state and break
+    resume (ADVICE-class data loss)."""
+    import os
+
+    root = str(tmp_path / "snap")
+    store = SnapshotStore(root)
+    chain: list[str] = []
+    for i in range(6):
+        entry = store.commit(
+            i, {"frontier_delta": _df(spark, 4 + i, f"d{i}")}, finalize=False
+        )
+        chain.append(entry["tables"]["frontier_delta"]["path"])
+        entry["meta"]["frontier"] = {"delta_paths": list(chain)}
+        store.publish(entry)
+
+    stats = store.expire(keep_last=2)
+    assert stats["retained"] == [5, 4]
+    # every chain member survives: the head manifest's meta references it
+    for p in chain:
+        assert os.path.exists(p), p
+    # the resume-style union read over the full chain still works
+    total = spark.read.parquet(*chain).count()
+    assert total == sum(4 + i for i in range(6))
+    # nothing was deletable here, so no files were removed
+    assert stats["removed_files"] == 0
+    # but the stale manifests themselves are gone
+    assert stats["removed_snapshots"] == [0, 1, 2, 3]
