@@ -540,20 +540,15 @@ def _probe_eff(procs: int) -> float:
     return round(min(bases) / min(walls), 3)
 
 
-def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int | None = None) -> None:
-    """One subprocess = one session at local[n_cores]: untimed warmup,
-    then *repeats* timed in-session runs; report median + all (the
-    cross-run variance on this box lives BETWEEN sessions — in-session
-    repeats with a warm JVM are the reproducible estimator). Each rep is
-    bracketed with /proc/stat steal jiffies so a host-contended rep is
-    identifiable: ``rate_clean`` is the median over reps whose steal
-    delta is ≤ STEAL_CLEAN_JIFFIES (absent when no rep qualifies)."""
+def _scaling_setup(job: str, n_cores: int, n_urls: int):
+    """Session + workload for one scaling child: the conf and warmup
+    shared by the sequential child (`--scaling-child`) and the paired
+    server (`--scaling-server`). Returns ``(spark, rep_fn)`` where
+    ``rep_fn()`` runs ONE timed rep and returns its rate."""
     import tempfile
 
     from frontier_engine.session import get_spark
 
-    if repeats is None:
-        repeats = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")  # 8–16g sweet spot
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
@@ -579,12 +574,48 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int | None = No
     spark = get_spark(app_name=f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(n_cores * 2, 16), extra_conf=extra)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if job == "schedule":
+        world = ScheduleWorld(spark, n_urls, tempfile.mkdtemp(dir=shm))
+        world.pipeline_once()  # warmup: JIT + Python workers + broadcast
+        return spark, lambda: world.pipeline_once()["urls_per_sec"]
+    pages = _parse_world_pages(spark).cache()
+    n = pages.count()
+    parse_pages_bench(spark, pages, n)  # warmup
+    return spark, lambda: parse_pages_bench(spark, pages, n)["pages_per_sec"]
+
+
+def _child_summary(rates: list, steals: list, probes: list,
+                   n_cores: int, n_urls: int, job: str) -> dict:
+    """The per-child result block (same schema in sequential and paired
+    modes): median + every rep's rate and steal delta, the steal-clean
+    median, and the child's own Spark-free CPU ceiling."""
+    med = statistics.median(rates)
+    clean = [r for r, s in zip(rates, steals) if s is not None and s <= STEAL_CLEAN_JIFFIES]
+    return {"rate": med, "rates": rates, "steal_jiffies": steals,
+            "rate_clean": round(statistics.median(clean), 1) if clean else None,
+            "clean_reps": len(clean),
+            "cpu_ceiling": round(sum(probes) / len(probes), 3) if probes else None,
+            "spread": round((max(rates) - min(rates)) / med, 3) if med else None,
+            "cores": n_cores, "n": n_urls if job == "schedule" else None}
+
+
+def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int | None = None) -> None:
+    """One subprocess = one session at local[n_cores]: untimed warmup,
+    then *repeats* timed in-session runs; report median + all (the
+    cross-run variance on this box lives BETWEEN sessions — in-session
+    repeats with a warm JVM are the reproducible estimator). Each rep is
+    bracketed with /proc/stat steal jiffies so a host-contended rep is
+    identifiable: ``rate_clean`` is the median over reps whose steal
+    delta is ≤ STEAL_CLEAN_JIFFIES (absent when no rep qualifies)."""
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    spark, rep_fn = _scaling_setup(job, n_cores, n_urls)
     probe_pre = _probe_eff(n_cores)
     rates, steals = [], []
 
-    def timed(fn):
+    def timed():
         s0 = _read_steal_jiffies()
-        rate = fn()
+        rate = rep_fn()
         s1 = _read_steal_jiffies()
         rates.append(rate)
         steals.append((s1 - s0) if (s0 is not None and s1 is not None) else None)
@@ -596,27 +627,186 @@ def _scaling_child(n_cores: int, n_urls: int, job: str, repeats: int | None = No
     # repeats+2 total — a noisy host costs extra samples, never silently
     # biases the estimate (EVERY rep's rate + steal delta is published)
     max_reps = repeats + 2
-    if job == "schedule":
-        world = ScheduleWorld(spark, n_urls, tempfile.mkdtemp(dir=shm))
-        world.pipeline_once()  # warmup: JIT + Python workers + broadcast
-        while len(rates) < max_reps and (len(rates) < repeats or _clean_count() < repeats):
-            timed(lambda: world.pipeline_once()["urls_per_sec"])
-    else:
-        pages = _parse_world_pages(spark).cache()
-        n = pages.count()
-        parse_pages_bench(spark, pages, n)  # warmup
-        while len(rates) < max_reps and (len(rates) < repeats or _clean_count() < repeats):
-            timed(lambda: parse_pages_bench(spark, pages, n)["pages_per_sec"])
-    med = statistics.median(rates)
-    clean = [r for r, s in zip(rates, steals) if s is not None and s <= STEAL_CLEAN_JIFFIES]
-    r = {"rate": med, "rates": rates, "steal_jiffies": steals,
-         "rate_clean": round(statistics.median(clean), 1) if clean else None,
-         "clean_reps": len(clean),
-         "cpu_ceiling": round((probe_pre + _probe_eff(n_cores)) / 2, 3),
-         "spread": round((max(rates) - min(rates)) / med, 3) if med else None,
-         "cores": n_cores, "n": n_urls if job == "schedule" else None}
+    while len(rates) < max_reps and (len(rates) < repeats or _clean_count() < repeats):
+        timed()
+    r = _child_summary(rates, steals, [probe_pre, _probe_eff(n_cores)],
+                       n_cores, n_urls, job)
     print("SCALING_RESULT " + json.dumps(r))
     spark.stop()
+
+
+def _scaling_server(n_cores: int, n_urls: int, job: str) -> None:
+    """Paired-mode child: same session + warmup as `_scaling_child`,
+    but reps run ON DEMAND, one per REP line on stdin, so the parent
+    can interleave the n2 and n8 children's reps in ONE shared window.
+    The sequential protocol's efficiency is a ratio of two child
+    sessions that run minutes apart — run15 showed a bandwidth-
+    depressed stretch can cover one child and lift before the other
+    with no steal/CPU-probe signature. Interleaved pairs make each
+    efficiency sample a ratio of two ADJACENT ~10-30 s windows, so
+    slow window drift cancels in the ratio instead of becoming the
+    measurement."""
+    spark, rep_fn = _scaling_setup(job, n_cores, n_urls)
+    print("SERVER_READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "REP":
+            s0 = _read_steal_jiffies()
+            rate = rep_fn()
+            s1 = _read_steal_jiffies()
+            print("REP_RESULT " + json.dumps(
+                {"rate": rate,
+                 "steal": (s1 - s0) if (s0 is not None and s1 is not None) else None}),
+                flush=True)
+        elif cmd == "PROBE":
+            print("PROBE_RESULT " + json.dumps({"eff": _probe_eff(n_cores)}), flush=True)
+        elif cmd == "EXIT":
+            break
+    spark.stop()
+    print("SERVER_DONE", flush=True)
+
+
+class _PairChild:
+    """Parent-side handle on one `--scaling-server` subprocess: line
+    protocol over stdin/stdout with a reader thread (stderr drained to
+    a bounded tail so Spark logs can't fill the pipe and deadlock)."""
+
+    def __init__(self, job: str, cores: int, n_urls: int):
+        import collections
+        import queue
+        import threading
+
+        self.cores, self.n_urls, self.job = cores, n_urls, job
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--scaling-server",
+             str(cores), str(n_urls), job],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, bufsize=1,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        self._q: "queue.Queue" = queue.Queue()
+        self.stderr_tail: "collections.deque" = collections.deque(maxlen=40)
+        threading.Thread(target=self._pump_out, daemon=True).start()
+        threading.Thread(target=self._pump_err, daemon=True).start()
+
+    def _pump_out(self) -> None:
+        for line in self.proc.stdout:
+            self._q.put(line.rstrip("\n"))
+        self._q.put(None)
+
+    def _pump_err(self) -> None:
+        for line in self.proc.stderr:
+            self.stderr_tail.append(line)
+
+    def send(self, cmd: str) -> None:
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+
+    def expect(self, prefix: str, timeout: float):
+        """Next stdout line starting with *prefix* (other lines — py4j
+        noise, GC prints — are skipped); parsed JSON payload or None."""
+        import queue
+
+        deadline = time.time() + timeout
+        while True:
+            left = deadline - time.time()
+            if left <= 0:
+                raise TimeoutError(f"{self.job}:n{self.cores} waiting for {prefix}")
+            try:
+                line = self._q.get(timeout=min(left, 5.0))
+            except queue.Empty:
+                continue
+            if line is None:
+                raise RuntimeError(
+                    f"{self.job}:n{self.cores} child exited rc={self.proc.poll()}: "
+                    + "".join(self.stderr_tail)[-400:])
+            if line.startswith(prefix):
+                rest = line[len(prefix):].strip()
+                return json.loads(rest) if rest else None
+
+    def close(self) -> None:
+        try:
+            if self.proc.poll() is None:
+                self.send("EXIT")
+                self.proc.wait(timeout=60)
+        except Exception:
+            pass
+        if self.proc.poll() is None:
+            self.proc.kill()
+
+
+def _run_pair(job: str, repeats: int | None = None,
+              remaining=lambda: 1e9) -> dict:
+    """Interleaved paired scaling measurement: both children warm up
+    CONCURRENTLY (their own sessions at local[2] / local[8]), then the
+    parent alternates single reps n2→n8→n2→n8 so each pair shares one
+    ~adjacent window; efficiency is the MEDIAN OF PAIRWISE ratios
+    (robust to drift BETWEEN pairs), with the ratio-of-medians kept
+    beside it for continuity with runs 1–15. Probe and rep commands
+    never overlap — exactly one child computes at any instant, same as
+    the sequential protocol, so rates are comparable across modes.
+    Returns the jout dict ({"_fail": ...} on any child failure, so the
+    caller can fall back to the sequential path)."""
+    cores = _scaling_cores()
+    if len(cores) != 2:
+        return {"_fail": f"paired mode needs exactly 2 core counts, got {cores}"}
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    lo, hi = cores
+    kids: dict[int, _PairChild] = {}
+    try:
+        for c in cores:
+            kids[c] = _PairChild(job, c, _child_n_urls(job, c, SCALING_N))
+        # warmups overlap (lo+hi cores in flight — fine on this box and
+        # saves wall); everything after READY is strictly sequential
+        for c in cores:
+            kids[c].expect("SERVER_READY", timeout=max(120, min(1200, remaining())))
+        probes: dict[int, list] = {c: [] for c in cores}
+        for c in cores:
+            kids[c].send("PROBE")
+            probes[c].append(kids[c].expect("PROBE_RESULT", 180)["eff"])
+        rates: dict[int, list] = {c: [] for c in cores}
+        steals: dict[int, list] = {c: [] for c in cores}
+
+        def _pair_clean(i: int) -> bool:
+            return all(steals[c][i] is not None
+                       and steals[c][i] <= STEAL_CLEAN_JIFFIES for c in cores)
+
+        def _clean_pairs() -> int:
+            return sum(1 for i in range(len(rates[lo])) if _pair_clean(i))
+
+        max_pairs = repeats + 2
+        while (len(rates[lo]) < max_pairs
+               and (len(rates[lo]) < repeats or _clean_pairs() < repeats)):
+            if remaining() < 180:
+                break
+            for c in cores:  # one pair: lo rep, then hi rep, back-to-back
+                kids[c].send("REP")
+                out = kids[c].expect("REP_RESULT", max(120, min(900, remaining())))
+                rates[c].append(out["rate"])
+                steals[c].append(out["steal"])
+        for c in cores:
+            kids[c].send("PROBE")
+            probes[c].append(kids[c].expect("PROBE_RESULT", 180)["eff"])
+    except Exception as e:  # noqa: BLE001 — any child failure → sequential fallback
+        tails = {f"n{c}": "".join(k.stderr_tail)[-300:] for c, k in kids.items()}
+        return {"_fail": f"{type(e).__name__}: {e}", "stderr_tails": tails}
+    finally:
+        for k in kids.values():
+            k.close()
+    if not rates[lo] or len(rates[lo]) != len(rates[hi]):
+        return {"_fail": "no complete pairs inside the wall budget"}
+    ratio = hi / lo
+    pair_effs = [round((rates[hi][i] / rates[lo][i]) / ratio, 3)
+                 for i in range(len(rates[lo]))]
+    clean_effs = [e for i, e in enumerate(pair_effs) if _pair_clean(i)]
+    jout = {f"n{c}": _child_summary(rates[c], steals[c], probes[c], c,
+                                    _child_n_urls(job, c, SCALING_N), job)
+            for c in cores}
+    jout["pair_effs"] = pair_effs
+    jout["pair_effs_clean"] = clean_effs or None
+    jout["protocol"] = "paired-interleaved"
+    return jout
 
 
 def _run_child(job: str, cores: int, n_urls: int, timeout_s: float = 2400) -> dict:
@@ -654,14 +844,30 @@ def _scaling_eff(jout: dict) -> None:
     # 8→32 (opt-in) shares one DRAM bus 4 ways and is published
     # separately as the hardware floor (compare membw_eff_32p).
     if "n2" in jout and "n8" in jout:
-        jout["efficiency"] = round((jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
+        if jout.get("pair_effs"):
+            # paired-interleaved protocol (run16+): the headline is the
+            # MEDIAN OF PAIRWISE ratios — each pair's two reps ran
+            # back-to-back in one ~adjacent window, so drift between
+            # pairs cancels in each ratio; the sequential formula
+            # (ratio of per-child medians) is kept beside it for
+            # cross-run continuity
+            jout["efficiency"] = round(statistics.median(jout["pair_effs"]), 3)
+            jout["efficiency_medratio"] = round(
+                (jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
+        else:
+            jout["efficiency"] = round((jout["n8"]["rate"] / jout["n2"]["rate"]) / 4.0, 3)
         jout["efficiency_pair"] = "2->8 cores (N->4N)"
         # steal-filtered twin: same pair over the medians of reps whose
         # per-rep /proc/stat steal delta was ≤ STEAL_CLEAN_JIFFIES —
         # published BESIDE the raw number, never instead of it
-        c2, c8 = jout["n2"].get("rate_clean"), jout["n8"].get("rate_clean")
-        if c2 and c8:
-            jout["efficiency_clean"] = round((c8 / c2) / 4.0, 3)
+        if jout.get("pair_effs"):
+            ce = jout.get("pair_effs_clean")
+            if ce:
+                jout["efficiency_clean"] = round(statistics.median(ce), 3)
+        else:
+            c2, c8 = jout["n2"].get("rate_clean"), jout["n8"].get("rate_clean")
+            if c2 and c8:
+                jout["efficiency_clean"] = round((c8 / c2) / 4.0, 3)
         # per-child ceiling normalization: each child measured its own
         # Spark-free parallel-CPU ceiling (bracketing probes at ITS
         # core count, in ITS window) — the hardware-allowed 2→8
@@ -685,10 +891,16 @@ def _scaling_eff(jout: dict) -> None:
         # shape: n8 1/5 clean reps → schedule 0.58 raw on a box whose
         # clean windows read 0.84-0.95 on identical code)
         want = int(os.environ.get("BENCH_SCALING_REPS", "3"))
-        jout["window_steal_contended"] = bool(
-            min(jout["n2"].get("clean_reps", want),
-                jout["n8"].get("clean_reps", want)) < want
-        )
+        if jout.get("pair_effs"):
+            # paired mode: the unit of measurement is the PAIR — a pair
+            # is clean only when BOTH its reps are steal-clean
+            jout["window_steal_contended"] = bool(
+                len(jout.get("pair_effs_clean") or []) < want)
+        else:
+            jout["window_steal_contended"] = bool(
+                min(jout["n2"].get("clean_reps", want),
+                    jout["n8"].get("clean_reps", want)) < want
+            )
     if "n8" in jout and "n32" in jout:
         jout["efficiency_8_32"] = round((jout["n32"]["rate"] / jout["n8"]["rate"]) / 4.0, 3)
 
@@ -714,8 +926,11 @@ def _window_rank(jout: dict) -> tuple:
     flags = int(bool(jout.get("window_steal_contended"))) + int(
         bool(jout.get("window_hardware_limited"))
     )
-    reps = min(jout.get("n2", {}).get("clean_reps") or 0,
-               jout.get("n8", {}).get("clean_reps") or 0)
+    if jout.get("pair_effs"):
+        reps = len(jout.get("pair_effs_clean") or [])
+    else:
+        reps = min(jout.get("n2", {}).get("clean_reps") or 0,
+                   jout.get("n8", {}).get("clean_reps") or 0)
     ceil = min(jout.get("n2", {}).get("cpu_ceiling") or 0.0,
                jout.get("n8", {}).get("cpu_ceiling") or 0.0)
     return (-flags, reps, ceil)
@@ -966,6 +1181,10 @@ def main() -> None:
         job = sys.argv[4] if len(sys.argv) > 4 else "schedule"
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]), job)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-server":
+        job = sys.argv[4] if len(sys.argv) > 4 else "schedule"
+        _scaling_server(int(sys.argv[2]), int(sys.argv[3]), job)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--main-child":
         _main_child()
         return
@@ -1049,11 +1268,26 @@ def main() -> None:
 
     emit()
 
-    # ---- scaling phase: one child at a time, budget-checked between
+    # ---- scaling phase: paired-interleaved by default (run16+ —
+    # both children warm concurrently, reps alternate in one shared
+    # window); any pair failure falls back to the sequential
+    # one-child-at-a-time protocol of runs 1–15 for that job
+    paired_mode = os.environ.get("BENCH_PAIRED", "1") == "1"
     if do_scaling:
         scaling["hardware_ceiling_pre"] = probe_pre
         for job in ("schedule", "parse"):
             jout = scaling.setdefault(job, {})
+            if paired_mode and remaining() >= 240:
+                t_ph = time.time()
+                r = _run_pair(job, remaining=remaining)
+                _clock(f"{job}:pair", t_ph)
+                if "_fail" not in r:
+                    jout.update(r)
+                    _scaling_eff(jout)
+                    emit()
+                    continue
+                scaling.setdefault("child_failures", []).append(
+                    {"pair": f"{job}:paired", **r})
             for cores in _scaling_cores():
                 if remaining() < 120:
                     scaling.setdefault("skipped_budget", []).append(f"{job}:n{cores}")
@@ -1110,21 +1344,31 @@ def main() -> None:
         flagged.sort(key=lambda j: _window_rank(scaling[j]))
         for job in flagged:
             jout = scaling.get(job) or {}
-            pair_wall = phase_walls.get(f"{job}:n2", 0) + phase_walls.get(f"{job}:n8", 0)
+            pair_wall = (phase_walls.get(f"{job}:pair")
+                         or (phase_walls.get(f"{job}:n2", 0)
+                             + phase_walls.get(f"{job}:n8", 0)))
             if not pair_wall or remaining() < pair_wall * 1.2 + 60:
                 continue
             t_ph = time.time()
             retry: dict = {}
-            for cores in _scaling_cores():
-                if remaining() < 120:
-                    break
-                r = _run_child(job, cores, _child_n_urls(job, cores, SCALING_N),
-                               timeout_s=remaining())
+            if paired_mode and jout.get("protocol") == "paired-interleaved":
+                r = _run_pair(job, remaining=remaining)
                 if "_fail" not in r:
-                    retry[f"n{cores}"] = r
+                    retry = r
                 else:
                     scaling.setdefault("child_failures", []).append(
-                        {"pair": f"{job}:retry:n{cores}", **r})
+                        {"pair": f"{job}:retry:paired", **r})
+            else:
+                for cores in _scaling_cores():
+                    if remaining() < 120:
+                        break
+                    r = _run_child(job, cores, _child_n_urls(job, cores, SCALING_N),
+                                   timeout_s=remaining())
+                    if "_fail" not in r:
+                        retry[f"n{cores}"] = r
+                    else:
+                        scaling.setdefault("child_failures", []).append(
+                            {"pair": f"{job}:retry:n{cores}", **r})
             _clock(f"{job}:retry", t_ph)
             if "n2" not in retry or "n8" not in retry:
                 continue

@@ -118,3 +118,58 @@ def test_retry_order_prefers_worst_window():
                      key=lambda j: bench._window_rank({"schedule": schedule,
                                                        "parse": parse}[j]))
     assert flagged[0] == "parse"
+
+
+def test_scaling_eff_paired_median_of_pairwise_ratios():
+    """Paired-interleaved protocol (run16+): headline efficiency is the
+    median of per-pair ratios (each pair = adjacent n2/n8 reps in one
+    shared window), with the sequential ratio-of-medians published
+    beside it; the clean twin is the median over pairs whose BOTH reps
+    were steal-clean, and the steal flag counts clean PAIRS."""
+    import bench
+
+    jout = {
+        "n2": {"rate": 100.0, "rate_clean": 100.0, "cpu_ceiling": 0.9,
+               "clean_reps": 3},
+        "n8": {"rate": 340.0, "rate_clean": 340.0, "cpu_ceiling": 0.88,
+               "clean_reps": 3},
+        "pair_effs": [0.84, 0.86, 0.50],
+        "pair_effs_clean": [0.84, 0.86],  # third pair had a dirty rep
+        "protocol": "paired-interleaved",
+    }
+    bench._scaling_eff(jout)
+    assert jout["efficiency"] == 0.84          # median of pairwise, not 340/100/4
+    assert jout["efficiency_medratio"] == 0.85  # sequential formula kept beside
+    assert jout["efficiency_clean"] == 0.85     # median over the 2 clean pairs
+    # 2 clean pairs < want(3) -> steal-contended, even though each
+    # child individually reports 3 clean reps
+    assert jout["window_steal_contended"] is True
+    assert bench._window_flagged(jout)
+
+    ok = dict(jout, pair_effs_clean=[0.84, 0.86, 0.83])
+    bench._scaling_eff(ok)
+    assert ok["window_steal_contended"] is False
+    assert ok["efficiency_clean"] == 0.84
+
+
+def test_window_rank_counts_clean_pairs_in_paired_mode():
+    """Retry selection stays efficiency-blind in paired mode: rank uses
+    the number of clean PAIRS, not the per-child clean-rep counts."""
+    import bench
+
+    fewer_clean_pairs = {
+        "n2": {"rate": 100.0, "cpu_ceiling": 0.9, "clean_reps": 3},
+        "n8": {"rate": 340.0, "cpu_ceiling": 0.9, "clean_reps": 3},
+        "pair_effs": [0.9, 0.9, 0.9],
+        "pair_effs_clean": [0.9],
+    }
+    more_clean_pairs = {
+        "n2": {"rate": 100.0, "cpu_ceiling": 0.9, "clean_reps": 3},
+        "n8": {"rate": 200.0, "cpu_ceiling": 0.9, "clean_reps": 3},
+        "pair_effs": [0.5, 0.5, 0.5],
+        "pair_effs_clean": [0.5, 0.5, 0.5],
+    }
+    bench._scaling_eff(fewer_clean_pairs)
+    bench._scaling_eff(more_clean_pairs)
+    # the low-efficiency pair has the better WINDOW and must outrank
+    assert bench._window_rank(more_clean_pairs) > bench._window_rank(fewer_clean_pairs)
