@@ -575,7 +575,15 @@ def _scaling_setup(job: str, n_cores: int, n_urls: int):
                       shuffle_partitions=max(n_cores * 2, 16), extra_conf=extra)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     if job == "schedule":
-        world = ScheduleWorld(spark, n_urls, tempfile.mkdtemp(dir=shm))
+        import atexit
+        import shutil
+
+        # /dev/shm is finite and shared: clean the world up when the
+        # child exits (crash-orphaned dirs are swept by the next run's
+        # _sweep_stale_tmpdirs — both paths keyed on the bench- prefix)
+        workdir = tempfile.mkdtemp(prefix="bench-scale-", dir=shm)
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        world = ScheduleWorld(spark, n_urls, workdir)
         world.pipeline_once()  # warmup: JIT + Python workers + broadcast
         return spark, lambda: world.pipeline_once()["urls_per_sec"]
     pages = _parse_world_pages(spark).cache()
@@ -754,6 +762,17 @@ def _run_pair(job: str, repeats: int | None = None,
         repeats = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     lo, hi = cores
     kids: dict[int, _PairChild] = {}
+    probes: dict[int, list] = {c: [] for c in cores}
+    rates: dict[int, list] = {c: [] for c in cores}
+    steals: dict[int, list] = {c: [] for c in cores}
+
+    def _pair_clean(i: int) -> bool:
+        return all(steals[c][i] is not None
+                   and steals[c][i] <= STEAL_CLEAN_JIFFIES for c in cores)
+
+    def _clean_pairs() -> int:
+        return sum(1 for i in range(len(rates[lo])) if _pair_clean(i))
+
     try:
         for c in cores:
             kids[c] = _PairChild(job, c, _child_n_urls(job, c, SCALING_N))
@@ -761,20 +780,9 @@ def _run_pair(job: str, repeats: int | None = None,
         # saves wall); everything after READY is strictly sequential
         for c in cores:
             kids[c].expect("SERVER_READY", timeout=max(120, min(1200, remaining())))
-        probes: dict[int, list] = {c: [] for c in cores}
         for c in cores:
             kids[c].send("PROBE")
             probes[c].append(kids[c].expect("PROBE_RESULT", 180)["eff"])
-        rates: dict[int, list] = {c: [] for c in cores}
-        steals: dict[int, list] = {c: [] for c in cores}
-
-        def _pair_clean(i: int) -> bool:
-            return all(steals[c][i] is not None
-                       and steals[c][i] <= STEAL_CLEAN_JIFFIES for c in cores)
-
-        def _clean_pairs() -> int:
-            return sum(1 for i in range(len(rates[lo])) if _pair_clean(i))
-
         max_pairs = repeats + 2
         while (len(rates[lo]) < max_pairs
                and (len(rates[lo]) < repeats or _clean_pairs() < repeats)):
@@ -788,9 +796,24 @@ def _run_pair(job: str, repeats: int | None = None,
         for c in cores:
             kids[c].send("PROBE")
             probes[c].append(kids[c].expect("PROBE_RESULT", 180)["eff"])
-    except Exception as e:  # noqa: BLE001 — any child failure → sequential fallback
+    except Exception as e:  # noqa: BLE001 — salvage completed pairs, else fall back
         tails = {f"n{c}": "".join(k.stderr_tail)[-300:] for c, k in kids.items()}
-        return {"_fail": f"{type(e).__name__}: {e}", "stderr_tails": tails}
+        n_done = min(len(rates[lo]), len(rates[hi]))
+        if n_done < 2:
+            return {"_fail": f"{type(e).__name__}: {e}", "stderr_tails": tails}
+        # a child died MID-window (run16: transient SparkContext
+        # shutdown in the n2 schedule child) but ≥2 complete pairs
+        # exist: publish them, annotated, instead of discarding the
+        # whole shared-window measurement — the sequential fallback
+        # costs ~8 min of wall and loses the adjacent-window property
+        # the paired protocol exists for. Trim to complete pairs only.
+        for c in cores:
+            rates[c] = rates[c][:n_done]
+            steals[c] = steals[c][:n_done]
+        salvaged = {"error": f"{type(e).__name__}: {e}"[:300],
+                    "stderr_tails": tails, "pairs_completed": n_done}
+    else:
+        salvaged = None
     finally:
         for k in kids.values():
             k.close()
@@ -800,12 +823,15 @@ def _run_pair(job: str, repeats: int | None = None,
     pair_effs = [round((rates[hi][i] / rates[lo][i]) / ratio, 3)
                  for i in range(len(rates[lo]))]
     clean_effs = [e for i, e in enumerate(pair_effs) if _pair_clean(i)]
-    jout = {f"n{c}": _child_summary(rates[c], steals[c], probes[c], c,
+    jout = {f"n{c}": _child_summary(rates[c], steals[c],
+                                    [p for p in probes[c] if p is not None], c,
                                     _child_n_urls(job, c, SCALING_N), job)
             for c in cores}
     jout["pair_effs"] = pair_effs
     jout["pair_effs_clean"] = clean_effs or None
     jout["protocol"] = "paired-interleaved"
+    if salvaged:
+        jout["salvaged_after_child_failure"] = salvaged
     return jout
 
 
@@ -1021,8 +1047,13 @@ def _salt_ab_child(n_urls: int) -> None:
     from frontier_engine.config import EngineConfig
 
     cfg = EngineConfig(salt_partitions=16, round_seconds=1000.0, concurrent_per_host=100)
+    import atexit
+    import shutil
+
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    path = tempfile.mkdtemp(dir=shm) + "/frontier"
+    workdir = tempfile.mkdtemp(prefix="bench-salt-", dir=shm)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    path = workdir + "/frontier"
     synth_frontier(spark, n_urls).write.mode("overwrite").parquet(path)
     fr = spark.read.parquet(path)
     out = {"n": n_urls, "hot_host_share": 0.3, "salt_partitions": cfg.salt_partitions}
@@ -1176,6 +1207,25 @@ def _slim(result: dict) -> dict:
     return slim
 
 
+def _sweep_stale_tmpdirs() -> None:
+    """Remove bench workdirs orphaned by crashed/killed earlier runs.
+
+    Every bench tmpdir carries a ``bench-``/``ingest-round-`` prefix and
+    is rmtree'd by its owner on clean exit; a kill mid-phase leaves it
+    behind on the finite shared tmpfs (observed: 11 GB of orphans after
+    the r4 timeout runs). One bench runs at a time (driver contract),
+    so at start-of-run anything matching the prefixes is ours and dead.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    for root in ("/dev/shm", tempfile.gettempdir()):
+        for prefix in ("bench-scale-", "bench-salt-", "bench-round-", "ingest-round-"):
+            for d in glob.glob(os.path.join(root, prefix + "*")):
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         job = sys.argv[4] if len(sys.argv) > 4 else "schedule"
@@ -1193,6 +1243,7 @@ def main() -> None:
         return
 
     t_start = time.time()
+    _sweep_stale_tmpdirs()
     # 2,100 s default: r5 runs complete their core phases in 818-1,366 s
     # (contended brackets at the high end), and the driver demonstrably
     # tolerated r3's longer protocol (5 reps × 3 child sizes incl. n32

@@ -173,3 +173,87 @@ def test_window_rank_counts_clean_pairs_in_paired_mode():
     bench._scaling_eff(more_clean_pairs)
     # the low-efficiency pair has the better WINDOW and must outrank
     assert bench._window_rank(more_clean_pairs) > bench._window_rank(fewer_clean_pairs)
+
+
+def test_sweep_stale_tmpdirs_removes_only_bench_prefixes(tmp_path, monkeypatch):
+    """Crash-orphaned bench workdirs are swept at start-of-run; files
+    without a bench prefix are never touched (shared tmpfs safety)."""
+    import tempfile
+
+    import bench
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    ours = tmp_path / "bench-scale-abc123"
+    ours.mkdir()
+    (ours / "part-0.parquet").write_bytes(b"x")
+    theirs = tmp_path / "someone-elses-dir"
+    theirs.mkdir()
+    bench._sweep_stale_tmpdirs()
+    assert not ours.exists()
+    assert theirs.exists()
+
+
+class _ScriptedChild:
+    """Stub of bench._PairChild: scripted REP_RESULT payloads, raising
+    RuntimeError (child death) when the script runs out."""
+
+    def __init__(self, reps):
+        self._reps = list(reps)
+
+    def send(self, cmd):
+        pass
+
+    def expect(self, prefix, timeout):
+        if prefix == "SERVER_READY":
+            return None
+        if prefix == "PROBE_RESULT":
+            return {"eff": 0.9}
+        if not self._reps:
+            raise RuntimeError("child exited rc=1: SparkContext was shut down")
+        return self._reps.pop(0)
+
+    @property
+    def stderr_tail(self):
+        return ["java.lang.OutOfMemoryError\n"]
+
+    def close(self):
+        pass
+
+
+def _patched_pair(monkeypatch, lo_reps, hi_reps):
+    import bench
+
+    kids = iter([_ScriptedChild(lo_reps), _ScriptedChild(hi_reps)])
+    monkeypatch.setattr(bench, "_PairChild", lambda job, c, n: next(kids))
+    monkeypatch.setattr(bench, "_scaling_cores", lambda: [2, 8])
+    return bench._run_pair("schedule", repeats=3)
+
+
+def test_run_pair_salvages_completed_pairs_on_child_death(monkeypatch):
+    """run16 shape: the n2 child dies mid-window after 2 complete pairs.
+    The completed pairs must be published (annotated), not discarded
+    into the ~8-min sequential fallback."""
+    rep = lambda r, s: {"rate": r, "steal": s}
+    out = _patched_pair(
+        monkeypatch,
+        lo_reps=[rep(100.0, 10), rep(102.0, 12)],          # dies on pair 3
+        hi_reps=[rep(340.0, 8), rep(336.0, 9), rep(340.0, 7)],
+    )
+    assert "_fail" not in out
+    assert out["salvaged_after_child_failure"]["pairs_completed"] == 2
+    assert len(out["pair_effs"]) == 2
+    assert out["n2"]["rates"] == [100.0, 102.0]
+    assert out["n8"]["rates"] == [340.0, 336.0]  # trimmed to complete pairs
+    assert out["protocol"] == "paired-interleaved"
+
+
+def test_run_pair_falls_back_when_fewer_than_two_pairs(monkeypatch):
+    """A child death before 2 complete pairs still routes to the
+    sequential fallback (the salvage never publishes a 1-sample ratio)."""
+    rep = lambda r, s: {"rate": r, "steal": s}
+    out = _patched_pair(
+        monkeypatch,
+        lo_reps=[rep(100.0, 10)],                          # dies on pair 2
+        hi_reps=[rep(340.0, 8), rep(336.0, 9)],
+    )
+    assert "_fail" in out
