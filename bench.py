@@ -655,6 +655,15 @@ def _scaling_server(n_cores: int, n_urls: int, job: str) -> None:
     slow window drift cancels in the ratio instead of becoming the
     measurement."""
     spark, rep_fn = _scaling_setup(job, n_cores, n_urls)
+    # second untimed warmup: paired-mode warmups run CONCURRENTLY
+    # (lo+hi cores + two JVMs' GC in flight), so the setup warmup is
+    # contended and under-warms — both published paired runs show the
+    # pattern (first pair 0.338 / 0.369 from a first n8 rep at ~2.3×
+    # under its own steady rate, all later pairs in band). This rep
+    # also runs contended, but it absorbs the JIT/page-cache ramp so
+    # rep 1 measures steady state like the rest. All timed reps are
+    # still published.
+    rep_fn()
     print("SERVER_READY", flush=True)
     for line in sys.stdin:
         cmd = line.strip()
