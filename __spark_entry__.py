@@ -119,8 +119,13 @@ def q_frontier_rank(spark, sf_dir):
 
 
 def q_frontier_dedup(spark, sf_dir):
-    """D1 exact semantics: first-discovery wins per canon url (lineitem
-    rows duplicate their order's url; keep min linenumber)."""
+    """CONSOLIDATED dedup row (r5 — see q_text_metrics for why): two
+    op-tagged parts. 'first_discovery' = D1 exact semantics, first
+    discovery wins per canon url (lineitem rows duplicate their order's
+    url; keep min linenumber). 'union_distinct' = SO1/SO2 frontier
+    union + dedupe (distinct canon urls per host; absorbed the former
+    set_union_dedup row to free a slot for trap_filter under the
+    50-row driver cap)."""
     li = _t(spark, sf_dir, "lineitem")
     cand = li.select(
         F.concat(F.lit("https://x.example/page/"), F.col("l_orderkey")).alias("url"),
@@ -128,11 +133,24 @@ def q_frontier_dedup(spark, sf_dir):
         F.col("l_partkey"),
     )
     w = Window.partitionBy("url").orderBy("l_linenumber", "l_partkey")
-    return (
+    first = (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("url", F.col("l_partkey").alias("first_part"))
+        .select(
+            F.lit("first_discovery").alias("op"),
+            F.col("url").alias("k"),
+            F.col("l_partkey").cast("long").alias("v"),
+        )
     )
+    fr = _frontier(spark, sf_dir)
+    a = fr.where(F.col("discovered_seq") % 2 == 0)
+    b = fr.where(F.col("discovered_seq") % 3 == 0)
+    union_distinct = (
+        a.unionByName(b).select("host", "url").distinct().groupBy("host")
+        .agg(F.count("*").cast("long").alias("v"))
+        .select(F.lit("union_distinct").alias("op"), F.col("host").alias("k"), "v")
+    )
+    return first.unionByName(union_distinct)
 
 
 def q_robots_filter(spark, sf_dir):
@@ -242,13 +260,43 @@ def q_date_expand(spark, sf_dir):
     return expand_date_ranges(spark, "2026-09-10+2-1", "2026-10-05+-2")
 
 
-def q_set_union_dedup(spark, sf_dir):
-    """SO1/SO2: frontier union + dedupe (distinct canon urls per host)."""
+def q_trap_filter(spark, sf_dir):
+    """Web-scale crawl-trap guard (traps.py, r5): per-(host,
+    url-template) admission cap — IRLbot/BUbiNG budget discipline. The
+    frontier's organic /page/D family and a planted calendar-trap
+    family (/cal?y=&m=&s=, one URL per frontier row) are both shaped by
+    url_template and capped at 25 URLs per family in
+    (discovered_seq, url) order via the two-phase salted top-k
+    (traps.cap_per_template); output joins the admission report
+    (n_urls/n_admitted/n_blocked per family) with sum/max admitted seq
+    so the hash pins exactly WHICH URLs survived, not just how many."""
+    from frontier_engine.traps import cap_per_template, template_report, url_template
+
     fr = _frontier(spark, sf_dir)
-    a = fr.where(F.col("discovered_seq") % 2 == 0)
-    b = fr.where(F.col("discovered_seq") % 3 == 0)
-    return a.unionByName(b).select("host", "url").distinct().groupBy("host").agg(
-        F.count("*").cast("long").alias("distinct_urls")
+    trap = fr.select(
+        "host",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/cal?y="),
+            (F.col("discovered_seq") % 5 + 2020).cast("string"),
+            F.lit("&m="), (F.col("discovered_seq") % 12).cast("string"),
+            F.lit("&s="), F.col("discovered_seq").cast("string"),
+        ).alias("url"),
+        "discovered_seq",
+    )
+    cand = fr.select("host", "url", "discovered_seq").unionByName(trap)
+    kept = cap_per_template(cand, cap=25, order_cols=["discovered_seq"])
+    kept_agg = (
+        kept.withColumn("template", url_template(F.col("url")))
+        .groupBy("host", "template")
+        .agg(
+            F.sum("discovered_seq").cast("long").alias("sum_seq_admitted"),
+            F.max("discovered_seq").cast("long").alias("max_seq_admitted"),
+        )
+    )
+    rep = template_report(cand, cap=25)
+    return rep.join(kept_agg, ["host", "template"]).select(
+        "host", "template", "n_urls", "n_admitted", "n_blocked",
+        "sum_seq_admitted", "max_seq_admitted",
     )
 
 
@@ -1531,7 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_parse": q_price_parse,
         "reviews_offsets": q_reviews_offsets,
         "date_expand": q_date_expand,
-        "set_union_dedup": q_set_union_dedup,
+        "trap_filter": q_trap_filter,
         "pricing_summary": q_pricing_summary,
         "cache_join": q_cache_join,
         "topk_per_group": q_topk_per_group,
@@ -2026,13 +2074,22 @@ def _oracle_sql_build() -> dict[str, str]:
               FROM frontier
             ) WHERE rank <= 10
         """,
-        "frontier_dedup": """
-            SELECT url, first_part FROM (
+        "frontier_dedup": f"""
+            {frontier}
+            SELECT 'first_discovery' AS op, url AS k, CAST(first_part AS BIGINT) AS v FROM (
               SELECT 'https://x.example/page/' || CAST(l_orderkey AS VARCHAR) AS url,
                      l_partkey AS first_part,
                      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
               FROM lineitem
             ) WHERE rn = 1
+            UNION ALL
+            SELECT 'union_distinct' AS op, host AS k, CAST(COUNT(*) AS BIGINT) AS v FROM (
+              SELECT DISTINCT host, url FROM (
+                SELECT host, url FROM frontier WHERE discovered_seq % 2 = 0
+                UNION ALL
+                SELECT host, url FROM frontier WHERE discovered_seq % 3 = 0
+              )
+            ) GROUP BY host
         """,
         "robots_filter": f"""
             {frontier},
@@ -2101,15 +2158,39 @@ def _oracle_sql_build() -> dict[str, str]:
             FROM (SELECT unnest(generate_series(DATE '2026-09-09', DATE '2026-09-12', INTERVAL 1 DAY)) AS ci),
                  (SELECT unnest(generate_series(DATE '2026-10-03', DATE '2026-10-07', INTERVAL 1 DAY)) AS co)
         """,
-        "set_union_dedup": f"""
-            {frontier}
-            SELECT host, CAST(COUNT(*) AS BIGINT) AS distinct_urls FROM (
-              SELECT DISTINCT host, url FROM (
-                SELECT host, url FROM frontier WHERE discovered_seq % 2 = 0
-                UNION ALL
-                SELECT host, url FROM frontier WHERE discovered_seq % 3 = 0
-              )
-            ) GROUP BY host
+        "trap_filter": f"""
+            {frontier},
+            cand AS (
+              SELECT host, url, discovered_seq FROM frontier
+              UNION ALL
+              SELECT host,
+                     'https://' || host || '/cal?y=' || CAST(discovered_seq % 5 + 2020 AS VARCHAR)
+                       || '&m=' || CAST(discovered_seq % 12 AS VARCHAR)
+                       || '&s=' || CAST(discovered_seq AS VARCHAR) AS url,
+                     discovered_seq
+              FROM frontier
+            ),
+            shaped AS (
+              SELECT host, url, discovered_seq,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       url, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''),
+                       '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+                       '[0-9]+', 'D', 'g'),
+                       '=[^&#]*', '=V', 'g') AS template
+              FROM cand
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host, template ORDER BY discovered_seq, url) AS rn
+              FROM shaped
+            )
+            SELECT host, template,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(LEAST(COUNT(*), 25) AS BIGINT) AS n_admitted,
+                   CAST(GREATEST(COUNT(*) - 25, 0) AS BIGINT) AS n_blocked,
+                   CAST(SUM(CASE WHEN rn <= 25 THEN discovered_seq END) AS BIGINT) AS sum_seq_admitted,
+                   CAST(MAX(CASE WHEN rn <= 25 THEN discovered_seq END) AS BIGINT) AS max_seq_admitted
+            FROM ranked GROUP BY host, template
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

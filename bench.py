@@ -499,6 +499,8 @@ def operator_queries(spark, sf_dir: str) -> dict:
         "semantic_dedup", "media_near_dup",
         # late-r4 cleaning/packing rows
         "pii_clean", "pack_sequences",
+        # r5 addition: crawl-trap admission cap (salted per-template top-k)
+        "trap_filter",
     ]
     qs = E.queries()
     out = {}
