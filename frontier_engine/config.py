@@ -54,6 +54,14 @@ class EngineConfig:
     # P20/A3 neighborhood extraction gate (airbnb.py:182-183)
     neighborhood_min_listings: int = 300
 
+    # Crawl-trap guard (traps.py, r5 — beyond-reference, default OFF to
+    # keep crawl-order parity with the reference): per-round admission
+    # budget per (host, url-template) family, applied to the deduped
+    # candidate set before the seen filter (discarded URLs never consume
+    # discovered_seq or enter the seen set — re-discovered later they
+    # compete again under that round's budget, IRLbot-style deferral)
+    trap_cap: int | None = None
+
     # search (airbnb.py:23-27)
     currency: str = "USD"
     default_max_price: int = 3000

@@ -194,6 +194,18 @@ def _ingest_candidates(
     deduped = (
         cands.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     )
+    if cfg.trap_cap is not None:
+        # per-round per-(host, url-template) admission budget (traps.py,
+        # r5; opt-in — default None keeps reference crawl-order parity).
+        # Applied pre-seen-filter so discarded URLs stay unseen and can
+        # compete under a later round's budget (IRLbot-style deferral);
+        # same (depth, parent_url, url) order as the dedupe above.
+        from frontier_engine.traps import cap_per_template
+
+        deduped = cap_per_template(
+            deduped, cfg.trap_cap, order_cols=["depth", "parent_url"],
+            url_col="canon_url",  # sorted-params form → stabler family keys
+        )
     # per-shard sizing unit: bloom = bits, cuckoo = buckets (×4 slots)
     cuckoo = cfg.seen_filter_kind == "cuckoo"
     n_units = cfg.cuckoo_buckets_per_shard if cuckoo else cfg.bloom_bits_per_shard

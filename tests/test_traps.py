@@ -122,3 +122,39 @@ def test_cap_plan_no_single_partition(spark):
     assert "SinglePartition" not in plan
     # both window phases partition on (host, template[, salt]) hashes
     assert plan.count("Window") >= 2
+
+
+def test_crawler_ingest_applies_trap_cap(spark):
+    """cfg.trap_cap budgets candidate admission per (host, template)
+    family inside _ingest_candidates (opt-in; None = reference parity)."""
+    from frontier_engine import seen as S
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.crawler import _ingest_candidates
+    from frontier_engine.robots import RULES_SCHEMA
+
+    cand = _families(spark).select(
+        "url", "host",
+        F.lit(1).alias("depth"),
+        F.concat(F.lit("https://seed/"), F.col("seq")).alias("parent_url"),
+        F.lit(0.0).alias("listing_score"),
+    )
+    rules = spark.createDataFrame([], RULES_SCHEMA)
+    base = dict(n_seen_shards=4, bloom_bits_per_shard=1 << 14, salt_partitions=2)
+
+    def admitted(cfg):
+        pending, blocked, _, _, n, handle = _ingest_candidates(
+            cand, S.empty_shards(spark), [], rules, cfg, 0
+        )
+        rows = pending.collect()
+        handle.unpersist()
+        return rows
+
+    uncapped = admitted(EngineConfig(**base))
+    assert len(uncapped) == 200
+    capped = admitted(EngineConfig(trap_cap=10, **base))
+    per_family = {}
+    for r in capped:
+        key = (r["host"], _tpl(spark, r["url"]))
+        per_family[key] = per_family.get(key, 0) + 1
+    assert max(per_family.values()) == 10  # trap family cut to budget
+    assert len(capped) == 30 + 3 * 10
