@@ -53,6 +53,14 @@ _FIXTURE_AUDIO = os.path.join(
 # of dHash-grid-aligned mosaic frames + a golden first-frame dHash
 # computed from the SOURCE pixels by an explicit-loop reference — the
 # oracle surface for the video near-dup medium
+_FIXTURE_LINKS_PAGES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "link_world", "pages.parquet"
+)
+# goldens for link_extract: stdlib html.parser + urljoin twin
+# (scripts_make_link_fixture.py)
+_FIXTURE_LINKS_GOLD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "link_world", "links_golden.parquet"
+)
 _FIXTURE_VIDEO = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_video.parquet"
 )
@@ -350,16 +358,43 @@ def q_topk_per_group(spark, sf_dir):
 # events: streaming-semantics analogs (ST1/ST4)
 # ===========================================================================
 
-def q_events_tumbling(spark, sf_dir):
-    """ST1: tumbling 1-hour window aggregation per event_type."""
+def q_events_windows(spark, sf_dir):
+    """CONSOLIDATED event-window row (r5): two op-tagged parts,
+    normalized to (op, k1, k2, n, val). 'tumbling' = ST1 1-hour tumbling
+    window aggregation per event_type (k1=window_start, k2=event_type,
+    n=count, val=sum). 'moving_avg' = per-user last-5-rows moving
+    average (k1=user_id, k2=event_id, val=avg — the ST4 latency-
+    smoothing shape). Absorbed the former events_tumbling +
+    events_moving_avg rows to free a slot for link_extract under the
+    50-row driver cap (the frontier_dedup consolidation discipline)."""
     e = _t(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("window_start"),
             "event_type",
         )
         .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.lit("tumbling").alias("op"),
+            F.col("window_start").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n",
+            F.col("sum_value").alias("val"),
+        )
     )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    moving = e.select(
+        F.lit("moving_avg").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.count("value").over(w).cast("long").alias("n"),  # window width 1..5
+        F.round(F.avg("value").over(w), 6).alias("val"),
+    )
+    return tumbling.unionByName(moving)
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -625,20 +660,19 @@ def q_region_rollup(spark, sf_dir):
     )
 
 
-def q_events_moving_avg(spark, sf_dir):
-    """Per-user moving average over the last 5 events (ROWS window —
-    the ST4 latency-smoothing shape)."""
-    e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, Window.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg_5"),
-    )
+def q_link_extract(spark, sf_dir):
+    """r5: HTML anchor extraction + RFC 3986 reference resolution over
+    the committed link-world fixture (links.extract_links — pure JVM
+    regex chain, let-bound via transform lambdas, no Python stage, no
+    shuffle). The oracle rows were produced by an INDEPENDENT stdlib
+    implementation — html.parser event stream + urllib.parse.urljoin
+    (scripts_make_link_fixture.py) — so hash equality certifies the
+    whole strip→extract→resolve→normalize chain. Feeds
+    linkgraph.host_edges (crawl discovery the reference delegates to
+    Scrapy's JSON-API spider, deepbnb/spiders/airbnb.py:149-175)."""
+    from frontier_engine.links import extract_links
+
+    return extract_links(spark.read.parquet(_FIXTURE_LINKS_PAGES))
 
 
 # --- hash/LSH-family ops, made oracle-checkable (VERDICT r1 item #4):
@@ -1583,7 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "cache_join": q_cache_join,
         "topk_per_group": q_topk_per_group,
-        "events_tumbling": q_events_tumbling,
+        "events_windows": q_events_windows,
         "adaptive_delay": q_adaptive_delay,
         "ttl_recrawl": q_ttl_recrawl,
         "dedup_exact": q_dedup_exact,
@@ -1601,7 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "price_sweep": q_price_sweep,
         "region_rollup": q_region_rollup,
-        "events_moving_avg": q_events_moving_avg,
+        "link_extract": q_link_extract,
         # parse/assemble/pipeline family over the committed fixture (r2)
         "page_text_extract": q_page_text_extract,
         "listings_extract": q_listings_extract,
@@ -2213,10 +2247,21 @@ def _oracle_sql_build() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 3
         """,
-        "events_tumbling": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
-                   CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
+        "events_windows": """
+            SELECT 'tumbling' AS op,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS k1,
+                   event_type AS k2,
+                   CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS val
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'moving_avg' AS op,
+                   CAST(user_id AS VARCHAR) AS k1,
+                   CAST(event_id AS VARCHAR) AS k2,
+                   CAST(COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS val
+            FROM events
         """,
         "stream_dedup": f"""
             {frontier}
@@ -2477,11 +2522,12 @@ def _oracle_sql_build() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
         """,
-        "events_moving_avg": """
-            SELECT user_id, event_id,
-                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg_5
-            FROM events
+        # goldens from the INDEPENDENT stdlib twin (html.parser event
+        # stream + urllib.parse.urljoin — scripts_make_link_fixture.py);
+        # hash equality certifies the engine's JVM regex chain end-to-end
+        "link_extract": f"""
+            SELECT src_url, href_raw, url, anchor, nofollow
+            FROM read_parquet('{_FIXTURE_LINKS_GOLD}')
         """,
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         # LSH top-10 must equal the exact brute-force top-10 over the

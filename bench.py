@@ -485,7 +485,7 @@ def operator_queries(spark, sf_dir: str) -> dict:
     headline = [
         "frontier_rank", "frontier_dedup", "robots_filter", "fetch_join_missing",
         "price_parse", "reviews_offsets", "pricing_summary", "cache_join",
-        "topk_per_group", "events_tumbling", "dedup_exact",
+        "topk_per_group", "events_windows", "dedup_exact",
         "text_metrics",  # r4 consolidated: lang_id + quality + tokens + fingerprint
         "minhash_dedup", "simhash_pairs",
         "ann_topk",  # r4 consolidated: brute + lsh + ivf
@@ -499,8 +499,9 @@ def operator_queries(spark, sf_dir: str) -> dict:
         "semantic_dedup", "media_near_dup",
         # late-r4 cleaning/packing rows
         "pii_clean", "pack_sequences",
-        # r5 addition: crawl-trap admission cap (salted per-template top-k)
-        "trap_filter",
+        # r5 additions: crawl-trap admission cap (salted per-template
+        # top-k) and HTML link extraction + RFC 3986 resolution
+        "trap_filter", "link_extract",
     ]
     qs = E.queries()
     out = {}

@@ -1,0 +1,211 @@
+"""links.py — HTML anchor extraction + RFC 3986 resolution.
+
+Three independent implementations triangulate:
+  1. the engine (pure JVM expression chain, links.extract_links),
+  2. the pure-Python twin (links.resolve_href_py — same steps over re),
+  3. stdlib urllib.parse.urljoin + html.parser (the fixture goldens,
+     scripts_make_link_fixture.py — nothing shared with 1 or 2).
+"""
+
+import os
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from frontier_engine.links import (
+    extract_links,
+    resolve_href_expr,
+    resolve_href_py,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "link_world")
+
+RESOLVE_CASES = [
+    ("https://www.h0.example/a/b.html", "c.html"),
+    ("https://www.h0.example/a/b.html", "./c.html"),
+    ("https://www.h0.example/a/b.html", "../c.html"),
+    ("https://www.h0.example/a/b/c.html", "../../x/y.html"),
+    ("https://www.h0.example/a/", ".."),
+    ("https://www.h0.example/a/b/", "../.."),
+    ("https://www.h0.example/a/b.html", "/root.html"),
+    ("https://www.h0.example/a/b.html?q=1", "?page=2"),
+    ("https://www.h0.example/a/b.html", "//other.example/z"),
+    ("https://www.h0.example/a/b.html", "https://abs.example/p?x=1#f"),
+    ("https://www.h0.example/a/b.html", "mailto:x@y.z"),
+    ("https://www.h0.example", "c.html"),
+    ("https://www.h0.example:8080/a/b", "c"),
+    ("https://www.h0.example/a/b.html", "../../../up.html"),
+    ("https://www.h0.example/a/b.html", "sub/dir/page"),
+    ("https://www.h0.example/a/b.html", "./x/./y"),
+    ("https://www.h0.example/a/b.html", "#top"),
+    ("https://www.h0.example/a/b.html", ""),
+    ("https://www.h0.example/a/b.html", "  c.html  "),
+    ("https://www.h0.example/a/./b.html", "c.html"),
+    ("https://www.h0.example/a/b.html", "x/./y/../z.html"),
+    ("https://www.h0.example/a/b/", "../peer?x=1"),
+    ("http://www.h0.example/a", "//cdn.example/lib.js"),
+]
+
+
+def _urljoin_ref(base: str, href: str):
+    """urljoin with the module's pre-normalization (trim + defragment;
+    empty → None) applied, so the comparison is apples-to-apples."""
+    from urllib.parse import urljoin
+
+    h = re.sub(r"#.*$", "", href.strip())
+    return None if h == "" else urljoin(base, h)
+
+
+def test_python_twin_matches_urljoin_on_cases():
+    for base, href in RESOLVE_CASES:
+        assert resolve_href_py(base, href) == _urljoin_ref(base, href), (base, href)
+
+
+def test_spark_chain_matches_python_twin(spark):
+    df = spark.createDataFrame(
+        [(b, h) for b, h in RESOLVE_CASES], ["base", "href"]
+    ).withColumn("resolved", resolve_href_expr(F.col("base"), F.col("href")))
+    for r in df.collect():
+        assert r.resolved == resolve_href_py(r.base, r.href), (r.base, r.href)
+
+
+# supported subset: http(s) bases with sane paths; hrefs from path
+# segments, ./ ../ (nesting ≤ _DOT_PASSES by construction: ≤4 levels),
+# root-relative, query, absolute — no lookahead-hostile segments like
+# "..." and no fragments-in-the-middle (covered by explicit cases above)
+_SEG_ST = st.from_regex(r"[a-z][a-z0-9\-]{0,4}", fullmatch=True)
+_BASE_ST = st.builds(
+    lambda host, segs, leaf, q: (
+        "https://" + host + "/" + "/".join(segs + [leaf]) + q
+    ),
+    st.sampled_from(["h0.example", "h1.example:8080", "sub.h2.example"]),
+    st.lists(_SEG_ST, min_size=0, max_size=3),
+    st.sampled_from(["", "index.html"]),  # '' → trailing-slash dir base
+    st.sampled_from(["", "?q=1"]),
+)
+_HREF_ST = st.one_of(
+    st.builds(
+        lambda ups, segs, q: "/".join(ups + segs) + q,
+        st.lists(st.sampled_from(["..", "."]), min_size=0, max_size=4),
+        st.lists(_SEG_ST, min_size=1, max_size=3),
+        st.sampled_from(["", "?page=2", "#f"]),
+    ),
+    st.builds(lambda s: "/" + s, _SEG_ST),
+    st.builds(lambda s: "//cdn.example/" + s, _SEG_ST),
+    st.builds(lambda s: "https://abs.example/" + s, _SEG_ST),
+    st.sampled_from(["", "#top", "?only=query", "..", "../..", "./"]),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(base=_BASE_ST, href=_HREF_ST)
+def test_python_twin_matches_urljoin_hypothesis(base, href):
+    assert resolve_href_py(base, href) == _urljoin_ref(base, href)
+
+
+def test_extract_links_matches_golden_fixture(spark):
+    got = sorted(
+        tuple(r)
+        for r in extract_links(
+            spark.read.parquet(os.path.join(FIX, "pages.parquet"))
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(FIX, "links_golden.parquet"))
+        .select("src_url", "href_raw", "url", "anchor", "nofollow")
+        .collect()
+    )
+    assert len(got) == len(want) and got == want
+
+
+def test_extract_links_edge_semantics(spark):
+    links = extract_links(
+        spark.read.parquet(os.path.join(FIX, "pages.parquet"))
+    ).where(F.col("src_url").contains("/edge.html"))
+    rows = {r.href_raw: r for r in links.collect()}
+    # script/style/comment bodies never produce links
+    assert not any("trap" in h for h in rows)
+    # non-web schemes, fragment-only, empty, href-less are dropped
+    for absent in ("mailto:bob@example.com", "javascript:void(0)",
+                   "tel:+1-555-0100", "#top", ""):
+        assert absent not in rows
+    # quote styles + case all extract
+    for present in ("plain.html", "single.html", "unquoted.html", "UPPER.html"):
+        assert present in rows
+    # resolution spot checks (base = /dir/sub/edge.html)
+    assert rows["../up.html"].url == "https://www.h0.example/dir/up.html"
+    assert rows["../../../../past-root.html"].url == "https://www.h0.example/past-root.html"
+    assert rows["?page=2"].url == "https://www.h0.example/dir/sub/edge.html?page=2"
+    assert rows["//www.h1.example/proto.html"].url == "https://www.h1.example/proto.html"
+    assert rows["x/./y/../z.html"].url == "https://www.h0.example/dir/sub/x/z.html"
+    # anchor-text normalization: nested tags → space, ws collapsed
+    assert rows["nested.html"].anchor == "has bold and inside"
+    assert rows["multi.html"].anchor == "line one line two"
+    assert rows["entity.html"].anchor == "Tom &amp; Jerry &#38; co"
+    assert rows["unicode.html"].anchor == "Košiče — čaj"
+    # rel=nofollow token semantics
+    assert rows["nf1.html"].nofollow and rows["nf2.html"].nofollow
+    assert rows["nf3.html"].nofollow and rows["nf4.html"].nofollow
+    assert not rows["follow.html"].nofollow
+    assert not rows["plain.html"].nofollow
+    # duplicate anchors keep multiplicity
+    dup = links.where(F.col("href_raw") == "dup.html").count()
+    assert dup == 2
+
+
+def test_links_feed_host_edges_and_pagerank(spark):
+    from frontier_engine.linkgraph import host_edges, pagerank
+
+    links = extract_links(spark.read.parquet(os.path.join(FIX, "pages.parquet")))
+    cand = links.where(~F.col("nofollow")).select(
+        F.col("src_url").alias("parent_url"), "url"
+    )
+    edges = host_edges(cand)
+    e = {(r.src, r.dst): r.weight for r in edges.collect()}
+    assert e, "fixture must produce cross-host edges"
+    assert all(s != d for s, d in e)  # self-loops dropped
+    # nofollow links are excluded from endorsement by the caller filter
+    nf_pairs = {
+        (r.src_url, r.url)
+        for r in links.where(F.col("nofollow")).collect()
+    }
+    assert nf_pairs, "fixture plants nofollow links"
+    ranks = pagerank(edges, iters=5)
+    got = {r.host: r.pagerank for r in ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_extract_links_plan_is_jvm_only(spark):
+    df = extract_links(spark.read.parquet(os.path.join(FIX, "pages.parquet")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "FlatMapsInPandas", "Exchange"):
+        assert bad not in plan, f"{bad} leaked into the link-extract plan"
+    # the let-binding keeps the tree codegen-sized: a plain inlined chain
+    # measured ~45 KB here; regression-guard an order of magnitude lower
+    assert len(plan) < 12_000, f"expression blowup: plan is {len(plan)} chars"
+
+
+def test_link_candidates_shape_and_dedup(spark):
+    from frontier_engine.links import link_candidates
+
+    pages = spark.read.parquet(os.path.join(FIX, "pages.parquet"))
+    cand = link_candidates(pages, base_depth=2, link_score=1.5)
+    assert cand.columns == ["url", "parent_url", "depth", "listing_score"]
+    rows = cand.collect()
+    assert rows and all(r.depth == 2 and r.listing_score == 1.5 for r in rows)
+    # distinct per (url, parent_url): the edge page's duplicated
+    # dup.html anchor collapses to one candidate
+    dup = [r for r in rows if r.url.endswith("/dir/sub/dup.html")]
+    assert len(dup) == 1
+    # self-links dropped; all candidates are absolute http(s)
+    assert all(r.url != r.parent_url for r in rows)
+    assert all(re.match(r"^https?://", r.url) for r in rows)
+    # nofollow URLs remain crawlable by default, excluded on request
+    n_all = len(rows)
+    n_follow = link_candidates(pages, include_nofollow=False).count()
+    assert n_follow < n_all
