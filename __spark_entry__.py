@@ -794,12 +794,25 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_url_canonicalize(spark, sf_dir):
-    """P18: JVM-expression canonicalizer over four messy-URL shapes
-    (casing, default/explicit ports, fragments, param order, userinfo,
-    empty path). url_hash (xxhash64) is engine-internal — byte-exactness
-    of the hash is pinned by the Python-twin test, the canon STRING is
-    what the oracle recomputes."""
+    """CONSOLIDATED URL-normalization row (r5): two op-tagged parts over
+    (op, url, out_url, n_hops, resolved).
+
+    'canon' = P18 JVM-expression canonicalizer over four messy-URL
+    shapes (casing, default/explicit ports, fragments, param order,
+    userinfo, empty path); url_hash (xxhash64) is engine-internal —
+    byte-exactness of the hash is pinned by the Python-twin test, the
+    canon STRING is what the oracle recomputes.
+
+    'redirect' = redirects.resolve_redirects — 3xx-chain folding BEFORE
+    the seen-set (pointer doubling: log2(16)=4 hash self-joins, loop-
+    safe: cycles surface as resolved=false with the node exactly 16
+    steps in). Edge set is derived deterministically from orderkeys:
+    descending chains (i%5≠0 → i-1-(i%3)), self-loops (i%10=0), and
+    A↔B pairs in a disjoint +1e9 namespace (i%10=5) — chains, both loop
+    shapes, and min(dst) conflict resolution all hit the oracle, a
+    DuckDB recursive CTE walking the same edges."""
     from frontier_engine.canon import with_canon_columns
+    from frontier_engine.redirects import resolve_redirects
 
     fr = _frontier(spark, sf_dir)
     seq = F.col("discovered_seq")
@@ -819,7 +832,42 @@ def q_url_canonicalize(spark, sf_dir):
         )
         .alias("url"),
     )
-    return with_canon_columns(messy).select("url", "canon_url", "host").distinct()
+    canon = (
+        with_canon_columns(messy)
+        .select("url", "canon_url")
+        .distinct()
+        .select(
+            F.lit("canon").alias("op"),
+            "url",
+            F.col("canon_url").alias("out_url"),
+            F.lit(0).cast("long").alias("n_hops"),
+            F.lit(True).alias("resolved"),
+        )
+    )
+
+    i = F.col("o_orderkey")
+
+    def u(c):
+        return F.concat(F.lit("https://r.example/u/"), c.cast("string"))
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    chain = o.where(i % 5 != 0).select(
+        u(i).alias("src_url"), u(i - 1 - (i % 3)).alias("dst_url")
+    )
+    loops = o.where(i % 10 == 0).select(
+        u(i).alias("src_url"), u(i).alias("dst_url")
+    )
+    cyc_a = o.where(i % 10 == 5).select(
+        u(i).alias("src_url"), u(i + 1000000000).alias("dst_url")
+    )
+    cyc_b = o.where(i % 10 == 5).select(
+        u(i + 1000000000).alias("src_url"), u(i).alias("dst_url")
+    )
+    edges = chain.union(loops).union(cyc_a).union(cyc_b)
+    red = resolve_redirects(edges).select(
+        F.lit("redirect").alias("op"), "url", "out_url", "n_hops", "resolved"
+    )
+    return canon.unionByName(red)
 
 
 def q_seen_bloom(spark, sf_dir):
@@ -2728,18 +2776,56 @@ def _oracle_sql_build() -> dict[str, str]:
             FROM b
         """,
         "url_canonicalize": f"""
-            {frontier}
-            SELECT DISTINCT
-              CASE WHEN seq % 4 = 0 THEN 'HTTPS://' || upper(host) || ':443/Page/' || seq || '?b=2&a=1#frag'
-                   WHEN seq % 4 = 1 THEN 'http://' || host || ':80'
-                   WHEN seq % 4 = 2 THEN 'https://' || host || ':8443/x?z=1&y=2&x=3'
-                   ELSE 'https://user@' || upper(host) || '/A/B#f' END AS url,
-              CASE WHEN seq % 4 = 0 THEN 'https://' || host || '/Page/' || seq || '?a=1&b=2'
-                   WHEN seq % 4 = 1 THEN 'http://' || host || '/'
-                   WHEN seq % 4 = 2 THEN 'https://' || host || ':8443/x?x=3&y=2&z=1'
-                   ELSE 'https://user@' || host || '/A/B' END AS canon_url,
-              host
-            FROM (SELECT host, CAST(discovered_seq AS VARCHAR) AS seq_s, discovered_seq AS seq FROM frontier)
+            WITH RECURSIVE fr AS ({_FRONTIER_SQL}),
+            canon AS (
+              SELECT DISTINCT
+                CASE WHEN seq % 4 = 0 THEN 'HTTPS://' || upper(host) || ':443/Page/' || seq || '?b=2&a=1#frag'
+                     WHEN seq % 4 = 1 THEN 'http://' || host || ':80'
+                     WHEN seq % 4 = 2 THEN 'https://' || host || ':8443/x?z=1&y=2&x=3'
+                     ELSE 'https://user@' || upper(host) || '/A/B#f' END AS url,
+                CASE WHEN seq % 4 = 0 THEN 'https://' || host || '/Page/' || seq || '?a=1&b=2'
+                     WHEN seq % 4 = 1 THEN 'http://' || host || '/'
+                     WHEN seq % 4 = 2 THEN 'https://' || host || ':8443/x?x=3&y=2&z=1'
+                     ELSE 'https://user@' || host || '/A/B' END AS out_url
+              FROM (SELECT host, discovered_seq AS seq FROM fr)
+            ),
+            ks AS (SELECT o_orderkey AS i FROM orders),
+            edges_raw AS (
+              SELECT 'https://r.example/u/' || CAST(i AS VARCHAR) AS src,
+                     'https://r.example/u/' || CAST(i - 1 - (i % 3) AS VARCHAR) AS dst
+              FROM ks WHERE i % 5 <> 0
+              UNION ALL
+              SELECT 'https://r.example/u/' || CAST(i AS VARCHAR),
+                     'https://r.example/u/' || CAST(i AS VARCHAR)
+              FROM ks WHERE i % 10 = 0
+              UNION ALL
+              SELECT 'https://r.example/u/' || CAST(i AS VARCHAR),
+                     'https://r.example/u/' || CAST(i + 1000000000 AS VARCHAR)
+              FROM ks WHERE i % 10 = 5
+              UNION ALL
+              SELECT 'https://r.example/u/' || CAST(i + 1000000000 AS VARCHAR),
+                     'https://r.example/u/' || CAST(i AS VARCHAR)
+              FROM ks WHERE i % 10 = 5
+            ),
+            edges AS (SELECT src, MIN(dst) AS dst FROM edges_raw GROUP BY src),
+            walk AS (
+              SELECT src AS url, src AS cur, 0 AS hops FROM edges
+              UNION ALL
+              SELECT w.url, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src
+              WHERE w.hops < 16
+            ),
+            fin AS (
+              SELECT url, cur, hops,
+                     ROW_NUMBER() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+              FROM walk
+            )
+            SELECT 'canon' AS op, url, out_url, CAST(0 AS BIGINT) AS n_hops, TRUE AS resolved
+            FROM canon
+            UNION ALL
+            SELECT 'redirect' AS op, f.url, f.cur AS out_url, CAST(f.hops AS BIGINT) AS n_hops,
+                   NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = f.cur) AS resolved
+            FROM fin f WHERE rn = 1
         """,
         "seen_bloom": f"""
             {frontier}
