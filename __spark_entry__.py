@@ -664,15 +664,23 @@ def q_link_extract(spark, sf_dir):
     """r5: HTML anchor extraction + RFC 3986 reference resolution over
     the committed link-world fixture (links.extract_links — pure JVM
     regex chain, let-bound via transform lambdas, no Python stage, no
-    shuffle). The oracle rows were produced by an INDEPENDENT stdlib
-    implementation — html.parser event stream + urllib.parse.urljoin
-    (scripts_make_link_fixture.py) — so hash equality certifies the
-    whole strip→extract→resolve→normalize chain. Feeds
-    linkgraph.host_edges (crawl discovery the reference delegates to
-    Scrapy's JSON-API spider, deepbnb/spiders/airbnb.py:149-175)."""
-    from frontier_engine.links import extract_links
+    shuffle), JOINED with the per-target anchor/endorsement rollup
+    (links.anchor_stats — two url-keyed hash aggregations: in-degree,
+    referring-host breadth, nofollow share, deterministic top anchor)
+    so ONE hash certifies extraction AND aggregation. The oracle's link
+    rows come from an INDEPENDENT stdlib implementation — html.parser
+    event stream + urllib.parse.urljoin (scripts_make_link_fixture.py);
+    its stats leg re-aggregates those golden rows in DuckDB SQL. Feeds
+    linkgraph.host_edges / apply_host_rank (crawl discovery + anchor
+    signal the reference delegates to Scrapy's JSON-API spider,
+    deepbnb/spiders/airbnb.py:149-175)."""
+    from frontier_engine.links import anchor_stats, extract_links
 
-    return extract_links(spark.read.parquet(_FIXTURE_LINKS_PAGES))
+    links = extract_links(spark.read.parquet(_FIXTURE_LINKS_PAGES))
+    return links.join(anchor_stats(links), "url").select(
+        "src_url", "href_raw", "url", "anchor", "nofollow",
+        "n_refs", "n_hosts", "n_nofollow", "top_anchor",
+    )
 
 
 # --- hash/LSH-family ops, made oracle-checkable (VERDICT r1 item #4):
@@ -2573,9 +2581,48 @@ def _oracle_sql_build() -> dict[str, str]:
         # goldens from the INDEPENDENT stdlib twin (html.parser event
         # stream + urllib.parse.urljoin — scripts_make_link_fixture.py);
         # hash equality certifies the engine's JVM regex chain end-to-end
+        # plus (r5) the anchor_stats rollup, re-aggregated here from the
+        # golden rows: in-degree, distinct referring hosts (canon
+        # host_expr semantics), nofollow count, and the deterministic
+        # top non-empty follow anchor (count desc, anchor desc).
         "link_extract": f"""
-            SELECT src_url, href_raw, url, anchor, nofollow
-            FROM read_parquet('{_FIXTURE_LINKS_GOLD}')
+            WITH l AS (
+              SELECT * FROM read_parquet('{_FIXTURE_LINKS_GOLD}')
+            ),
+            hosted AS (
+              SELECT *,
+                     lower(string_split(
+                       array_extract(string_split(
+                         regexp_extract(trim(src_url),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                         '@'), -1),
+                       ':')[1]) AS src_host
+              FROM l
+            ),
+            stats AS (
+              SELECT url,
+                     CAST(COUNT(*) AS BIGINT) AS n_refs,
+                     CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_hosts,
+                     CAST(SUM(CAST(nofollow AS BIGINT)) AS BIGINT) AS n_nofollow
+              FROM hosted GROUP BY url
+            ),
+            mode AS (
+              SELECT url, anchor AS top_anchor FROM (
+                SELECT url, anchor,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY url
+                         ORDER BY COUNT(*) DESC, anchor DESC
+                       ) AS rn
+                FROM l WHERE NOT nofollow AND anchor <> ''
+                GROUP BY url, anchor
+              ) WHERE rn = 1
+            )
+            SELECT l.src_url, l.href_raw, l.url, l.anchor, l.nofollow,
+                   s.n_refs, s.n_hosts, s.n_nofollow,
+                   COALESCE(m.top_anchor, '') AS top_anchor
+            FROM l
+            JOIN stats s USING (url)
+            LEFT JOIN mode m USING (url)
         """,
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         # LSH top-10 must equal the exact brute-force top-10 over the

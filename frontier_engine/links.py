@@ -58,6 +58,7 @@ __all__ = [
     "resolve_href_py",
     "extract_links",
     "link_candidates",
+    "anchor_stats",
 ]
 
 # scheme://authority prefix (host[:port]; stops at /, ?, #)
@@ -293,4 +294,73 @@ def link_candidates(
             F.lit(float(link_score)).alias("listing_score"),
         )
         .dropDuplicates(["url", "parent_url"])
+    )
+
+
+def anchor_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-target anchor/endorsement aggregation over
+    :func:`extract_links` output — the classic link-signal rollup a
+    rank pipeline feeds on (in-degree, referring-host breadth, nofollow
+    share, dominant anchor text; anchor text is the strongest off-page
+    relevance signal in the original PageRank/anchor-file design,
+    Brin & Page 1998 §4.1, and the reference has no analogue because
+    its Scrapy spider never walks ``<a href>``).
+
+    Returns one row per target url:
+
+    * ``n_refs``     — total in-links (rows in ``links``),
+    * ``n_hosts``    — distinct referring hosts (``canon.host_expr`` of
+      ``src_url``, the same expression ``linkgraph.host_edges`` keys
+      on, so breadth here and edges there agree),
+    * ``n_nofollow`` — in-links carrying rel=nofollow (excluded from
+      endorsement by ``host_edges`` callers; counted here so the share
+      is visible),
+    * ``top_anchor`` — the most frequent NON-EMPTY anchor string among
+      follow links, ties broken by the lexicographically greatest
+      anchor ('' when every follow in-link has empty anchor text) —
+      deterministic, so a SQL twin reproduces it exactly.
+
+    Scale shape: two hash aggregations, both keyed by url (+anchor for
+    the mode) — partial map-side combine applies, no window over the
+    corpus, no driver state. The distinct-host count rides Spark's
+    expand-based distinct aggregate inside the same url-keyed shuffle.
+    A hot target URL (every page links "/") skews the (url, anchor)
+    group far less than the raw url group since the mode key fans out
+    by anchor; the final per-url fold only sees one row per distinct
+    anchor."""
+    from frontier_engine.canon import host_expr
+
+    url = F.col(url_col)
+    base = links.select(
+        url.alias("__url"),
+        host_expr(F.col("src_url")).alias("__src_host"),
+        F.col("anchor"),
+        F.col("nofollow"),
+    )
+    stats = base.groupBy(F.col("__url").alias(url_col)).agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("__src_host").alias("n_hosts"),
+        F.sum(F.col("nofollow").cast("long")).alias("n_nofollow"),
+    )
+    # mode of non-empty follow anchors: count per (url, anchor), then
+    # max_by over a (count, anchor) struct — highest count wins, ties
+    # fall to the greatest anchor string (struct comparison is
+    # lexicographic over fields, so this is total and deterministic).
+    mode = (
+        base.where((~F.col("nofollow")) & (F.col("anchor") != ""))
+        .groupBy("__url", "anchor")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(F.col("__url").alias(url_col))
+        .agg(
+            F.max_by(
+                F.col("anchor"), F.struct(F.col("__n"), F.col("anchor"))
+            ).alias("top_anchor")
+        )
+    )
+    return stats.join(mode, url_col, "left").select(
+        url_col,
+        "n_refs",
+        "n_hosts",
+        "n_nofollow",
+        F.coalesce(F.col("top_anchor"), F.lit("")).alias("top_anchor"),
     )

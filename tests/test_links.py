@@ -209,3 +209,85 @@ def test_link_candidates_shape_and_dedup(spark):
     n_all = len(rows)
     n_follow = link_candidates(pages, include_nofollow=False).count()
     assert n_follow < n_all
+
+
+def test_anchor_stats_matches_python_recount(spark):
+    """anchor_stats vs an independent pure-Python recount (Counter over
+    the GOLDEN links parquet — the stdlib-twin-certified link set), so
+    the aggregation logic is checked against something that shares no
+    code with the engine's two-stage Spark plan."""
+    from collections import Counter, defaultdict
+
+    from frontier_engine.links import anchor_stats
+
+    links = extract_links(spark.read.parquet(os.path.join(FIX, "pages.parquet")))
+    got = {
+        r.url: (r.n_refs, r.n_hosts, r.n_nofollow, r.top_anchor)
+        for r in anchor_stats(links).collect()
+    }
+
+    gold = spark.read.parquet(os.path.join(FIX, "links_golden.parquet")).collect()
+    refs = Counter()
+    hosts = defaultdict(set)
+    nofollow = Counter()
+    anchors = defaultdict(Counter)
+    for r in gold:
+        refs[r.url] += 1
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", r.src_url)
+        h = m.group(1).rsplit("@", 1)[-1].split(":", 1)[0].lower()
+        hosts[r.url].add(h)
+        nofollow[r.url] += int(r.nofollow)
+        if not r.nofollow and r.anchor:
+            anchors[r.url][r.anchor] += 1
+    want = {}
+    for u in refs:
+        top = ""
+        if anchors[u]:
+            # highest count, ties to the greatest anchor string
+            top = max(anchors[u].items(), key=lambda kv: (kv[1], kv[0]))[0]
+        want[u] = (refs[u], len(hosts[u]), nofollow[u], top)
+    assert got == want
+    # fixture must actually exercise every column: some multi-ref
+    # target, some multi-host target, some nofollow'd target
+    assert any(v[0] > 1 for v in want.values())
+    assert any(v[2] > 0 for v in want.values())
+
+
+def test_anchor_stats_tie_and_empty_anchor_semantics(spark):
+    from frontier_engine.links import anchor_stats
+
+    rows = [
+        # u1: "b" and "a" tie at 1 follow-ref each → greatest anchor "b"
+        ("https://s1.example/p", "x", "https://t.example/u1", "a", False),
+        ("https://s2.example/p", "x", "https://t.example/u1", "b", False),
+        # u2: only nofollow + empty anchors → top_anchor ''
+        ("https://s1.example/p", "x", "https://t.example/u2", "best", True),
+        ("https://s1.example/q", "x", "https://t.example/u2", "", False),
+        # u3: majority wins over lexicographic
+        ("https://s1.example/a", "x", "https://t.example/u3", "zzz", False),
+        ("https://s2.example/b", "x", "https://t.example/u3", "win", False),
+        ("https://s3.example/c", "x", "https://t.example/u3", "win", False),
+    ]
+    df = spark.createDataFrame(
+        rows, ["src_url", "href_raw", "url", "anchor", "nofollow"]
+    )
+    got = {r.url: r for r in anchor_stats(df).collect()}
+    u1 = got["https://t.example/u1"]
+    assert (u1.n_refs, u1.n_hosts, u1.n_nofollow, u1.top_anchor) == (2, 2, 0, "b")
+    u2 = got["https://t.example/u2"]
+    assert (u2.n_refs, u2.n_hosts, u2.n_nofollow, u2.top_anchor) == (2, 1, 1, "")
+    u3 = got["https://t.example/u3"]
+    assert (u3.n_refs, u3.n_hosts, u3.n_nofollow, u3.top_anchor) == (3, 3, 0, "win")
+
+
+def test_anchor_stats_plan_shape(spark):
+    """Two url-keyed hash aggregations with partial combine; no window
+    over the corpus, no Python stage, no cartesian."""
+    from frontier_engine.links import anchor_stats
+
+    links = extract_links(spark.read.parquet(os.path.join(FIX, "pages.parquet")))
+    plan = anchor_stats(links)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct", "Window"):
+        assert bad not in plan, f"{bad} leaked into the anchor-stats plan"
+    assert "HashAggregate" in plan
