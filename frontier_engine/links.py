@@ -59,6 +59,7 @@ __all__ = [
     "extract_links",
     "link_candidates",
     "anchor_stats",
+    "apply_anchor_signal",
 ]
 
 # scheme://authority prefix (host[:port]; stops at /, ?, #)
@@ -363,4 +364,53 @@ def anchor_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
         "n_hosts",
         "n_nofollow",
         F.coalesce(F.col("top_anchor"), F.lit("")).alias("top_anchor"),
+    )
+
+
+def apply_anchor_signal(
+    pending: DataFrame,
+    stats: DataFrame,
+    weight: float = 5.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Fold :func:`anchor_stats` endorsement into the frontier's
+    priority column — the per-URL twin of
+    :func:`frontier_engine.linkgraph.apply_host_rank` (which boosts by
+    host; this boosts the exact target URL by how broadly it is linked,
+    the OPIC/in-degree prioritization a Scrapy DFO queue has no signal
+    for — the reference templates its JSON API and never sees links,
+    deepbnb/spiders/airbnb.py:149-175).
+
+    ``priority += weight * (1 - 1 / (1 + ln(1 + h)))`` where ``h`` is
+    the referring-host breadth (``n_hosts``), zeroed when EVERY in-link
+    is rel=nofollow (``n_nofollow == n_refs`` — nofollow'd links are
+    explicitly not endorsements). The saturating transform needs no
+    corpus-wide max (unlike apply_host_rank's normalization there is no
+    small rank table to take a max over — stats are per-URL, frontier-
+    sized), is monotone in breadth, and is bounded in [0, weight): with
+    the default weight the boost stays below one depth step
+    (priority = depth*100 + score, schedule.py:36), so like the host
+    rank it breaks ties WITHIN a depth level and never overrides DFO.
+
+    Scale shape: a plain left join on the url key — BOTH sides are
+    corpus-sized so no broadcast (contrast apply_host_rank, where the
+    host table is small by construction); the url key is the same one
+    frontier dedup shuffles on, so the exchange is reusable, and the
+    join carries only (url, boost) from the stats side. No window, no
+    driver state."""
+    h = F.col("n_hosts").cast("double")
+    endorsed = F.col("n_refs") > F.col("n_nofollow")
+    boost = F.when(
+        endorsed,
+        F.lit(float(weight))
+        * (F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + F.log1p(h))),
+    ).otherwise(F.lit(0.0))
+    side = stats.select(F.col(url_col), boost.alias("_anchor_boost"))
+    return (
+        pending.join(side, url_col, "left")
+        .withColumn(
+            "priority",
+            F.col("priority") + F.coalesce(F.col("_anchor_boost"), F.lit(0.0)),
+        )
+        .drop("_anchor_boost")
     )
