@@ -586,9 +586,19 @@ def q_ann_topk(spark, sf_dir):
     near-neighbor universe and must equal the exact brute force the
     oracle computes — the union makes each method's equality a separate
     set of hash-checked rows (see q_text_metrics for why consolidated)."""
+    from frontier_engine.similarity import ivf_topk, lsh_topk
+
+    # r6 perf: build the planted-neighbor universe ONCE (the old shape
+    # re-derived it per leg — two first() jobs + the mixture expression
+    # tree re-planned by every kmeans iteration's job) and localCheckpoint
+    # it, so the ~7 driver actions underneath (kmeans init + iterations,
+    # probes, final union) plan against a trivial scan. Same rows, same
+    # values — the checkpoint only truncates lineage inside this query.
+    uni, qv = _ann_universe(spark, sf_dir)
+    uni = uni.localCheckpoint(eager=True)
     brute = q_ann_brute_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
-    lsh = q_lsh_ann(spark, sf_dir).withColumn("method", F.lit("lsh"))
-    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    lsh = lsh_topk(uni, qv, k=10, probe_hamming=2).withColumn("method", F.lit("lsh"))
+    ivf = ivf_topk(uni, qv, k=10, n_lists=16, n_probe=4).withColumn("method", F.lit("ivf"))
     return brute.unionByName(lsh).unionByName(ivf)
 
 
@@ -951,7 +961,10 @@ def q_ivf_topk_join(spark, sf_dir):
     computes."""
     from frontier_engine.similarity import ivf_topk_join
 
+    # r6 perf: localCheckpoint the universe so the kmeans jobs and the
+    # probe/join job plan against a trivial scan (see q_ann_topk)
     uni, _qv = _ann_universe(spark, sf_dir)
+    uni = uni.localCheckpoint(eager=True)
     queries_df = uni.where(F.col("vec_id") >= 100000).select(
         (F.col("vec_id") - 100000).alias("query_id"), F.col("embedding")
     )

@@ -40,6 +40,46 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# --- r6 perf helpers -------------------------------------------------------
+# Measured dead end, recorded so it is not retried: fully UNROLLING dot/
+# norm into get(i)-chains (16 centroids × dim 64) made every job 3-4×
+# SLOWER — the per-job Catalyst walk over the huge literal tree dwarfs any
+# per-row win at these row counts, and the HOF fold was never the
+# bottleneck. What does help: hoisting the norms (literal codebook norms
+# computed driver-side with the same left fold; the per-row norm
+# materialized once instead of re-evaluated per centroid) while keeping
+# the compact HOF dot — same plan size class, 2-3× less per-row work.
+
+def norm_py(vals: list[float]) -> float:
+    """Driver-side twin of :func:`norm` — same left fold, same IEEE ops
+    (Python floats are the same binary64), so the literal it produces is
+    bit-identical to what the JVM aggregate would compute."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dimensionality probe: length of the first vector (one tiny job);
+    None on an empty frame — callers then keep the HOF fallback path."""
+    first = df.select(vec_col).limit(1).collect()
+    if not first or first[0][0] is None:
+        return None
+    return len(first[0][0])
+
+
+def _dbl(df: DataFrame, vec_col: str) -> Column:
+    """_as_double, skipped when the column is already array<double> (the
+    cast transform would rebuild the array per reference for nothing)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    dt = df.schema[vec_col].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, DoubleType):
+        return F.col(vec_col)
+    return _as_double(F.col(vec_col))
+
+
 def brute_force_topk(
     embeddings: DataFrame, query: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -118,12 +158,11 @@ def embedding_near_dup_pairs(
     bits) → exact cosine verify ≥ threshold. No false positives; recall
     governed by n_planes/probe_hamming (cos 0.95 ⇒ P[bit differs] ≈
     0.10, P[≤1 of 12 differs] ≈ 0.66·… tested on planted dups)."""
-    first = embeddings.select(vec_col).limit(1).collect()
-    if not first:
+    dim = _vec_dim(embeddings, vec_col)
+    if dim is None:
         return embeddings.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, cos double"
         )
-    dim = len(first[0][0])
     sig = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), dim, n_planes))
     # multi-probe: emit each row under its bucket and (optionally) every
     # 1-bit-flip bucket, so pairs within hamming ≤ probe_hamming collide
@@ -163,7 +202,6 @@ def all_pairs_topk_per_label(
     op: one groupBy for centroids + broadcast join back)."""
     from pyspark.sql import Window
 
-    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
     centroids = (
         embeddings.select(label_col, F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
         .groupBy(label_col, "i")
@@ -201,11 +239,19 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r.v) for r in init]
+    if not cents:
+        return cents
     for _ in range(iters):
-        cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-        assigned = embeddings.select(
-            _as_double(F.col(vec_col)).alias("v"),
-            _argmax_cos(cent_col, _as_double(F.col(vec_col)), len(cents)).alias("cluster"),
+        # r6: materialize v + its norm once per row, then the hoisted-
+        # norms argmax (bit-identical to the HOF fold — _argmax_cos_lit;
+        # the old shape re-evaluated the _as_double cast and norm(v) once
+        # per centroid per row)
+        assigned = (
+            embeddings.select(_dbl(embeddings, vec_col).alias("v"))
+            .withColumn("_nv", norm(F.col("v")))
+            .select(
+                "v", _argmax_cos_lit(cents, F.col("v"), F.col("_nv")).alias("cluster")
+            )
         )
         newc = (
             assigned.select("cluster", F.posexplode("v").alias("i", "x"))
@@ -233,6 +279,30 @@ def _argmax_cos(cent_array: Column, vec: Column, k: int) -> Column:
     return best["i"]
 
 
+def _argmax_cos_lit(cents: list[list[float]], v: Column, nv: Column) -> Column:
+    """Hoisted-norms twin of :func:`_argmax_cos` for a driver-side
+    codebook: cosine per centroid is the same HOF dot(c, v) divided by
+    (literal ‖c‖ · *nv*) — the codebook norms are computed driver-side
+    with the same left fold (:func:`norm_py`, bit-identical doubles) and
+    the per-row norm *nv* is a materialized column, so neither is
+    re-evaluated per centroid as in the fold form. The fold-with-`>`
+    argmax becomes greatest(struct(cos, -i)), which matches it case for
+    case: ties keep the lowest index (larger -i wins), NaN cosines win
+    over everything (Spark orders NaN largest, and in the fold `NaN > x`
+    is true while `x > NaN` is false — first NaN kept either way), and
+    the (-2.0, i=-1) init survives only all-NULL rows, exactly as
+    before."""
+    if not cents:
+        return F.lit(-1)
+    structs = [F.struct(F.lit(-2.0).alias("cos"), F.lit(1).alias("negi"))]
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cos_i = dot(carr, v) / (F.lit(norm_py(c)) * nv)
+        structs.append(F.struct(cos_i.alias("cos"), F.lit(-i).alias("negi")))
+    best = F.greatest(*structs)
+    return (F.lit(0) - best["negi"]).cast("int")
+
+
 def ivf_topk(
     embeddings: DataFrame, query: list[float], k: int = 10, n_lists: int = 16,
     n_probe: int = 4, iters: int = 2, centroids: list[list[float]] | None = None,
@@ -249,21 +319,28 @@ def ivf_topk(
     with TakeOrdered(k). Recall on genuinely-near neighbors is pinned by
     test + driver oracle (vs exact brute force)."""
     cents = centroids or kmeans_centroids(embeddings, n_lists, iters, id_col, vec_col)
-    cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     qcos = [
         (sum(a * b for a, b in zip(query, c))
          / ((sum(a * a for a in query) ** 0.5) * (sum(b * b for b in c) ** 0.5 or 1.0)), i)
         for i, c in enumerate(cents)
     ]
     probes = [i for _, i in sorted(qcos, reverse=True)[:n_probe]]
-    assigned = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
-        _argmax_cos(cent_col, _as_double(F.col(vec_col)), len(cents)).alias("cluster"),
-    )
+    # r6: materialize v + norm once, hoisted-norms argmax + final cosine
+    # reusing the materialized norm (same doubles as the HOF forms)
     qv = F.array(*[F.lit(float(x)) for x in query])
+    assigned = (
+        embeddings.select(F.col(id_col), _dbl(embeddings, vec_col).alias("v"))
+        .withColumn("_nv", norm(F.col("v")))
+        .withColumn("cluster", _argmax_cos_lit(cents, F.col("v"), F.col("_nv")))
+    )
     return (
         assigned.where(F.col("cluster").isin(probes))
-        .select(F.col(id_col), F.round(cosine(F.col("v"), qv), 6).alias("cos"))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col("v"), qv) / (F.col("_nv") * F.lit(norm_py(query))), 6
+            ).alias("cos"),
+        )
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
@@ -296,24 +373,32 @@ def ivf_topk_join(
     from pyspark.sql import Window
 
     cents = centroids or kmeans_centroids(corpus, n_lists, iters, id_col, vec_col)
-    cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    assigned = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"),
-        _argmax_cos(cent_col, _as_double(F.col(vec_col)), len(cents)).alias("_list"),
-    ).withColumn("_cn", norm(F.col("_cv")))
-
-    qv = _as_double(F.col(query_vec_col))
-    # per-query probe lists: struct(-cos, i) sorts ascending ⇒ best first
-    scored = F.transform(
-        cent_col, lambda c, i: F.struct((-cosine(c, qv)).alias("negcos"), i.alias("i"))
+    # r6: both sides materialize vector + norm once; corpus assignment and
+    # per-query probe scoring use the hoisted-norms forms (bit-identical —
+    # see _argmax_cos_lit; the old shape re-evaluated the _as_double cast
+    # and norms per centroid per row)
+    assigned = (
+        corpus.select(F.col(id_col), _dbl(corpus, vec_col).alias("_cv"))
+        .withColumn("_cn", norm(F.col("_cv")))
+        .withColumn("_list", _argmax_cos_lit(cents, F.col("_cv"), F.col("_cn")))
     )
-    probes = F.slice(F.array_sort(scored), 1, n_probe)
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), qv.alias("_qv"),
-            F.explode(F.transform(probes, lambda s: s["i"])).alias("_list"),
+
+    # per-query probe lists: struct(-cos, i) sorts ascending ⇒ best first
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dbl(queries, query_vec_col).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    scored = F.array(*[
+        F.struct(
+            (-(dot(F.array(*[F.lit(float(x)) for x in c]), F.col("_qv"))
+               / (F.lit(norm_py(c)) * F.col("_qn")))).alias("negcos"),
+            F.lit(i).alias("i"),
         )
-        .withColumn("_qn", norm(F.col("_qv")))
+        for i, c in enumerate(cents)
+    ]) if cents else F.array().cast("array<struct<negcos:double,i:int>>")
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    q = q0.select(
+        "query_id", "_qv", "_qn",
+        F.explode(F.transform(probes, lambda s: s["i"])).alias("_list"),
     )
     pair_cos = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
@@ -370,7 +455,7 @@ def semantic_dedup(
     """
     import math
 
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    base = embeddings.select(F.col(id_col), _dbl(embeddings, vec_col).alias("v"))
     if quantizer == "signbits":
         n_bits = max(1, (n_clusters - 1).bit_length())
         cluster = sum(
@@ -381,10 +466,14 @@ def semantic_dedup(
         sub_start = n_bits  # secondary bits must use fresh components
     else:
         cents = centroids or kmeans_centroids(embeddings, n_clusters, 2, id_col, vec_col)
-        cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-        assigned = base.withColumn(
-            "cluster", _argmax_cos(cent_col, F.col("v"), len(cents))
-        ).cache()
+        # r6: hoisted-norms argmax over a once-materialized norm
+        # (bit-identical to the HOF fold — see _argmax_cos_lit)
+        assigned = (
+            base.withColumn("_nrm", norm(F.col("v")))
+            .withColumn("cluster", _argmax_cos_lit(cents, F.col("v"), F.col("_nrm")))
+            .select(id_col, "v", "cluster")
+            .cache()
+        )
         sub_start = 0
     # pairing key = (cluster, sub); sub stays 0 unless the skew guard
     # splits an oversized cluster
@@ -442,19 +531,22 @@ def assign_semantic_clusters(
     codebook at all, so batch and corpus agree by construction. On a real
     deployment this frame is the corpus's precomputed partition layout —
     a table written once, not recomputed per ingest."""
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    base = embeddings.select(F.col(id_col), _dbl(embeddings, vec_col).alias("v"))
     if quantizer == "signbits":
         n_bits = max(1, (n_clusters - 1).bit_length())
         cluster = sum(
             (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (2 ** i)
             for i in range(n_bits)
         )
-    else:
-        if centroids is None:
-            raise ValueError("kmeans assignment needs the corpus's centroids")
-        cent_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-        cluster = _argmax_cos(cent_col, F.col("v"), len(centroids))
-    return base.withColumn("cluster", cluster).withColumn("nrm", norm(F.col("v")))
+        return base.withColumn("cluster", cluster).withColumn("nrm", norm(F.col("v")))
+    if centroids is None:
+        raise ValueError("kmeans assignment needs the corpus's centroids")
+    # r6: hoisted-norms argmax over the materialized norm (bit-identical)
+    return (
+        base.withColumn("nrm", norm(F.col("v")))
+        .withColumn("cluster", _argmax_cos_lit(centroids, F.col("v"), F.col("nrm")))
+        .select(id_col, "v", "cluster", "nrm")
+    )
 
 
 def semantic_dedup_join(
