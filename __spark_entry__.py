@@ -25,6 +25,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """r6 perf, guide §2.5: the driver's tables are single-row-group
+    parquet files, which scan as ONE partition and serialize every
+    per-row stage built on them; spread to defaultParallelism before
+    heavy per-row work (hash-partitioned on *key_col* when given). No-op
+    whenever the scan already has enough partitions."""
+    from frontier_engine.textops import spread_small_scan
+
+    return spread_small_scan(df, key_col)
+
+
 # committed deterministic crawl-world fixture (fixtures.write_world,
 # seed 42) — the oracle-readable surface for the parse/assemble/pipeline
 # operator family (VERDICT r1 item #3); independent of sf_dir by design
@@ -523,7 +534,7 @@ def q_duplicate_spans(spark, sf_dir):
       recomputes benchmark gram sets and per-doc hit counts."""
     from frontier_engine.textops import decontaminate, duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     bmk = d.where(F.col("doc_id") % 97 == 0)
     return duplicate_spans(d, n=6).join(decontaminate(d, bmk, n=8), "doc_id")
 
@@ -563,18 +574,22 @@ def q_text_metrics(spark, sf_dir):
     bigram counts, add-α smoothing, vocab scalar, per-doc aggregation —
     is pinned by the DuckDB twin."""
     from frontier_engine.textops import (
-        bigram_lm, doc_fingerprint_md5, lang_id, lm_score, quality_score,
-        repetition_metrics, token_counts,
+        _doc_bigrams, bigram_lm, lm_score, repetition_metrics, text_profile,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    uni, bi, voc = bigram_lm(d)
+    # r6 perf: the four per-row operators (lang_id, quality_score,
+    # token_counts, doc_fingerprint_md5) collapse into text_profile's
+    # single projection — same columns, same values, one normalization
+    # pass instead of four and three fewer doc_id joins; the LM's
+    # exploded-bigram frame is computed once and shared by training and
+    # scoring (it appeared three times in the old plan). 32 Exchanges →
+    # ~1/3 of that.
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    bg = _doc_bigrams(d, "text", "doc_id").cache()
+    uni, bi, voc = bigram_lm(d, doc_bigrams=bg)
     return (
-        lang_id(d)
-        .join(quality_score(d), "doc_id")
-        .join(token_counts(d), "doc_id")
-        .join(doc_fingerprint_md5(d), "doc_id")
-        .join(lm_score(d, uni, bi, voc), "doc_id")
+        text_profile(d)
+        .join(lm_score(d, uni, bi, voc, doc_bigrams=bg), "doc_id")
         .join(repetition_metrics(d), "doc_id")
     )
 
@@ -712,7 +727,7 @@ def q_minhash_dedup(spark, sf_dir):
     from frontier_engine.components import connected_components
     from frontier_engine.textops import minhash_dedup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     pairs = minhash_dedup_pairs(d, threshold=0.8)
     comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
         "id", "id_a"
@@ -733,7 +748,7 @@ def q_minhash_dedup_join(spark, sf_dir):
     Jaccard sweep."""
     from frontier_engine.textops import minhash_dedup_join
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     new = d.where(F.col("doc_id") < 60).withColumn(
         "doc_id", F.col("doc_id") + F.lit(100000)
     )
@@ -792,7 +807,7 @@ def q_simhash_pairs(spark, sf_dir):
     textops.simhash_near_pairs (pytest: planted-perturbation recall)."""
     from frontier_engine.textops import simhash_near_pairs
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").where(F.col("doc_id") < 2000)
     planted = d.where(F.col("doc_id") < 100).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10000)
     )
@@ -935,7 +950,7 @@ def _ann_universe(spark, sf_dir):
         )
     )
     uni = e.select("vec_id", _as_double(F.col("embedding")).alias("embedding"), "label").unionByName(mixtures)
-    return uni, qv
+    return _spread(uni, "vec_id"), qv
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -985,7 +1000,7 @@ def q_embedding_near_dup(spark, sf_dir):
     planted = e.where(F.col("vec_id") < 40).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
-    return embedding_near_dup_pairs(e.unionByName(planted), threshold=0.9)
+    return embedding_near_dup_pairs(_spread(e.unionByName(planted), "vec_id"), threshold=0.9)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1001,7 +1016,8 @@ def q_semantic_dedup(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     return semantic_dedup(
-        e.unionByName(planted), threshold=0.95, quantizer="signbits", n_clusters=8
+        _spread(e.unionByName(planted), "vec_id"), threshold=0.95,
+        quantizer="signbits", n_clusters=8,
     )
 
 
@@ -1062,8 +1078,8 @@ def q_semantic_dedup_join(spark, sf_dir):
         F.reverse("embedding").alias("embedding"),
     )
     return semantic_dedup_join(
-        copies.unionByName(fresh), e, threshold=0.95, n_clusters=8,
-        quantizer="signbits",
+        _spread(copies.unionByName(fresh), "vec_id"), _spread(e, "vec_id"),
+        threshold=0.95, n_clusters=8, quantizer="signbits",
     )
 
 
@@ -1147,7 +1163,7 @@ def q_pii_clean(spark, sf_dir):
         c4_line_filter, pii_redact, repeated_line_dedup,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     did = F.col("doc_id")
     lines = F.array_compact(
         F.array(
@@ -1203,7 +1219,7 @@ def q_pack_sequences(spark, sf_dir):
     from frontier_engine.bpe import bpe_train
     from frontier_engine.textops import pack_sequences
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     merges = bpe_train(d, num_merges=_BPE_NUM_MERGES, min_count=2)
     ws = pack_sequences(d, seq_len=64)
     bpe = pack_sequences(d, seq_len=64, tokenizer="bpe", bpe_merges=merges)
@@ -1306,7 +1322,7 @@ def q_page_text_extract(spark, sf_dir):
     column. Hash equality IS the byte-identical invariant."""
     from frontier_engine.html_text import html_bytes_to_text_arrow
 
-    pages = spark.read.parquet(_FIXTURE_PAGES)
+    pages = _spread(spark.read.parquet(_FIXTURE_PAGES), "url")
     return html_bytes_to_text_arrow(pages, keep=("url",))
 
 

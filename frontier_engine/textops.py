@@ -33,6 +33,23 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def spread_small_scan(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Repartition *df* up to defaultParallelism iff it currently has
+    fewer partitions (guide §2.5 input skew: a single-row-group parquet
+    file scans as ONE partition, serializing every per-row stage built on
+    it). Hash-partitions on *key_col* when given (deterministic, no
+    sort-before-repartition pass) else round-robin. A no-op at scale —
+    real corpora arrive with >= cluster parallelism partitions, so the
+    guard keeps production plans shuffle-free."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_col is not None:
+        return df.repartition(target, F.col(key_col))
+    return df.repartition(target)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id representative per normalized text.
     Hash-groupBy — one shuffle on xxhash64(text), no full-text comparison
@@ -220,8 +237,11 @@ def corpus_band_table(
     batch's bands against this table — the corpus text is never
     re-shingled per ingest (r4, VERDICT ask #5: the O(batch+collisions)
     claim made executable)."""
+    # r6: a one-file corpus would shingle on a single core (guide §2.5)
     return _band_buckets(
-        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n),
+        minhash_signatures(
+            spread_small_scan(corpus, id_col), text_col, id_col, num_hashes, shingle_n
+        ),
         id_col, bands, num_hashes // bands,
     )
 
@@ -539,6 +559,79 @@ def token_counts(
     return docs.select(*cols)
 
 
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """ONE-PASS union of the four per-row text operators — lang_id +
+    quality_score + token_counts + doc_fingerprint_md5 — with the exact
+    same output columns in the same order as joining them on *id_col*
+    (r6 perf: the joined shape normalized the text four times and paid
+    three doc_id shuffles for operators that are pure projections).
+    Values are identical expression for expression: one materialized
+    normalized string and one padded twin feed every counter, and the
+    stopword numerator IS the en marker score (same markers, same
+    padded string), so it is computed once."""
+    d0 = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_traw"),
+        normalized_text(F.col(text_col)).alias("_tnorm"),
+    )
+    norm = F.col("_tnorm")
+    d1 = d0.select(
+        F.col(id_col),
+        "_traw",
+        "_tnorm",
+        F.concat(F.lit(" "), norm, F.lit(" ")).alias("_tpad"),
+    )
+    pad = F.col("_tpad")
+    counters = d1.select(
+        F.col(id_col),
+        *[
+            sum((_count_occurrences(pad, m) for m in markers), F.lit(0.0))
+            .cast("double")
+            .alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+        F.length(norm).alias("_n_chars"),
+        F.size(F.split(norm, " ")).alias("_n_words"),
+        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).alias("_punct"),
+        F.size(F.split(F.trim(F.col("_traw")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("_traw"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("long").alias("regex_tokens"),
+        F.aggregate(
+            _norm_fingerprint_blocks(norm),
+            F.lit("0"),
+            lambda acc, b: F.md5(F.concat(acc, F.lit("|"), b)),
+        ).alias("fingerprint"),
+    )
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS, reverse=True)
+        ]
+    )
+    n_chars = F.col("_n_chars")
+    n_words = F.col("_n_words")
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    return counters.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(F.col("_punct") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(
+            F.col("score_en") / F.greatest(n_words.cast("double"), F.lit(1.0)), 6
+        ).alias("stopword_ratio"),
+        (
+            (n_words >= 5) & (mean_word_len >= 2) & (mean_word_len <= 12)
+        ).alias("passes_quality"),
+        "ws_tokens",
+        "regex_tokens",
+        "fingerprint",
+    )
+
+
 def repetition_metrics(
     docs: DataFrame,
     text_col: str = "text",
@@ -577,56 +670,36 @@ def repetition_metrics(
     per-doc conditional agg. Keys include the gram hash, so a pathological
     document cannot hot-spot one reducer; linear in Σ_n grams.
     The gram arrays are built with lambda-bound words (see word_shingles:
-    a free split() in a lambda body re-evaluates per element, O(words²))."""
-    all_ns = sorted({1, *top_ns, *dup_ns})
+    a free split() in a lambda body re-evaluates per element, O(words²)).
 
-    def gram_structs(ws: Column, n: int) -> Column:
-        k = F.size(ws) - (n - 1)
-        strs = F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        )
-        structs = F.transform(
-            strs,
-            lambda g: F.struct(
-                F.lit(n).alias("n"),
-                F.xxhash64(g).alias("h"),
-                F.length(g).alias("len"),
-            ),
-        )
-        empty = F.array().cast("array<struct<n:int,h:bigint,len:int>>")
-        return F.when(k > 0, structs).otherwise(empty)
-
-    def grams_of(ws: Column) -> Column:
-        return F.flatten(F.array(*[gram_structs(ws, n) for n in all_ns]))
+    r6 perf: every signal is WITHIN-document, so nothing needs a shuffle
+    — the old explode → (id, n, hash) groupBy → per-doc groupBy moved
+    ~Σ_n grams rows through two hash aggregations to count duplicates a
+    single row already contains. Now each family's gram hashes (chains
+    of per-word xxhash64s — the gram string is never built, same
+    discipline as shingle_hash_rows) are array_sort'ed per row and one
+    linear fold over the sorted runs produces the identical integers:
+    run length = the old group count, run length × gram length = the old
+    cl, max/dup-sum/total-sum fold out exactly. Zero exchanges, one
+    projection chain; with empty *top_ns*+*dup_ns* (the ingest quality
+    gate) it is just the word-stat counters. One output row per input
+    row (ids unique — the same contract the per-row operators and the
+    old joined consumers already assumed)."""
+    all_ns = sorted({*top_ns, *dup_ns})
 
     d0 = docs.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_rnorm"))
-    words = F.split(F.col("_rnorm"), " ")
-    exploded = d0.select(
+    d1 = d0.select(
         F.col(id_col),
         F.length("_rnorm").alias("_n_chars"),
-        F.explode(F.get(F.transform(F.array(words), grams_of), 0)).alias("_g"),
+        F.split(F.col("_rnorm"), " ").alias("_ws"),
     )
-    counts = exploded.groupBy(
+    word_stats = d1.select(
         F.col(id_col),
-        F.col("_n_chars"),
-        F.col("_g.n").alias("_n"),
-        F.col("_g.h").alias("_h"),
-    ).agg(F.count("*").alias("_cnt"), F.first("_g.len").alias("_len"))
-
-    cl = F.col("_cnt") * F.col("_len")
-    aggs = [
-        F.sum(F.when(F.col("_n") == 1, F.col("_cnt"))).alias("_w_total"),
-        F.count(F.when(F.col("_n") == 1, F.lit(1))).alias("_w_distinct"),
-    ]
-    for n in top_ns:
-        aggs.append(F.max(F.when(F.col("_n") == n, cl)).alias(f"_top{n}"))
-    for n in dup_ns:
-        aggs.append(
-            F.sum(F.when((F.col("_n") == n) & (F.col("_cnt") > 1), cl)).alias(f"_dup{n}")
-        )
-        aggs.append(F.sum(F.when(F.col("_n") == n, cl)).alias(f"_tot{n}"))
-    per_doc = counts.groupBy(F.col(id_col), F.col("_n_chars")).agg(*aggs)
+        "_n_chars",
+        "_ws",
+        F.size("_ws").cast("long").alias("_w_total"),
+        F.size(F.array_distinct("_ws")).cast("long").alias("_w_distinct"),
+    )
 
     sel = [
         F.col(id_col),
@@ -635,6 +708,88 @@ def repetition_metrics(
             6,
         ).alias("word_rep_frac"),
     ]
+    if not all_ns:
+        return word_stats.select(*sel)
+
+    hashed = word_stats.select(
+        F.col(id_col),
+        "_n_chars",
+        "_w_total",
+        "_w_distinct",
+        F.transform("_ws", lambda w: F.xxhash64(w)).alias("_wh"),
+        F.transform("_ws", lambda w: F.length(w)).alias("_wl"),
+    )
+
+    def family_stats(n: int) -> Column:
+        """struct(top, dup, tot) for the n-gram family of one row: sorted
+        gram (hash, len) pairs folded run by run — top = max over runs of
+        cnt·len, dup = Σ runs with cnt>1 of cnt·len, tot = Σ lens (every
+        occurrence contributes its len, so it's just the array sum)."""
+        wh, wl = F.col("_wh"), F.col("_wl")
+        k = F.size(wh) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.struct(
+                F.xxhash64(*[F.get(wh, i + j) for j in range(n)]).alias("h"),
+                (
+                    F.aggregate(F.slice(wl, i + 1, n), F.lit(0), lambda a, x: a + x)
+                    + F.lit(n - 1)
+                ).alias("len"),
+            ),
+        )
+        empty = F.array().cast("array<struct<h:bigint,len:int>>")
+        srt = F.array_sort(F.when(k > 0, grams).otherwise(empty))
+        zl = F.lit(0).cast("long")
+
+        def step(acc: Column, g: Column) -> Column:
+            same = (acc["cnt"] > 0) & (g["h"] == acc["prev"])
+            run = acc["cnt"] * acc["len"]
+            return F.when(
+                same,
+                F.struct(
+                    g["h"].alias("prev"), acc["len"].alias("len"),
+                    (acc["cnt"] + 1).alias("cnt"), acc["top"].alias("top"),
+                    acc["dup"].alias("dup"), (acc["tot"] + g["len"]).alias("tot"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g["h"].alias("prev"), g["len"].cast("long").alias("len"),
+                    F.lit(1).cast("long").alias("cnt"),
+                    F.greatest(acc["top"], run).alias("top"),
+                    (acc["dup"] + F.when(acc["cnt"] > 1, run).otherwise(zl)).alias("dup"),
+                    (acc["tot"] + g["len"]).alias("tot"),
+                )
+            )
+
+        def fin(acc: Column) -> Column:
+            run = acc["cnt"] * acc["len"]
+            return F.struct(
+                F.greatest(acc["top"], run).alias("top"),
+                (acc["dup"] + F.when(acc["cnt"] > 1, run).otherwise(zl)).alias("dup"),
+                acc["tot"].alias("tot"),
+            )
+
+        init = F.struct(
+            zl.alias("prev"), zl.alias("len"), zl.alias("cnt"),
+            zl.alias("top"), zl.alias("dup"), zl.alias("tot"),
+        )
+        # docs shorter than n words stay NULL (not zero) so the frac
+        # formulas coalesce to 0.0 exactly as the grouped shape did —
+        # a zero tot would make dup's 0/0 a NaN, not the old 0.0
+        return F.when(k > 0, F.aggregate(srt, init, step, fin)).otherwise(F.lit(None))
+
+    per_doc = hashed.select(
+        F.col(id_col),
+        "_n_chars",
+        "_w_total",
+        "_w_distinct",
+        *[family_stats(n).alias(f"_f{n}") for n in all_ns],
+    )
+    for n in top_ns:
+        per_doc = per_doc.withColumn(f"_top{n}", F.col(f"_f{n}")["top"])
+    for n in dup_ns:
+        per_doc = per_doc.withColumn(f"_dup{n}", F.col(f"_f{n}")["dup"])
+        per_doc = per_doc.withColumn(f"_tot{n}", F.col(f"_f{n}")["tot"])
     for n in top_ns:
         sel.append(
             F.round(
@@ -691,6 +846,7 @@ def bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 1,
+    doc_bigrams: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train an add-α bigram LM over a corpus: returns ``(unigrams,
     bigrams, vocab)`` — ``(w1, c1)`` left-position counts, ``(w1, w2,
@@ -703,8 +859,12 @@ def bigram_lm(
     vocab scalar is a countDistinct. KenLM-style quality filtering
     (CCNet, Wenzek et al. 2020 §4.3 score documents by LM perplexity to
     rank crawled text) reduced to the Spark-expressible bigram case —
-    scoring (:func:`lm_score`) is then two equi-joins, no UDFs."""
-    bg = _doc_bigrams(docs, text_col, id_col)
+    scoring (:func:`lm_score`) is then two equi-joins, no UDFs.
+
+    *doc_bigrams* (r6 perf): a precomputed/cached :func:`_doc_bigrams`
+    frame of *docs* — callers that also score the same corpus
+    (text_metrics, dsir_select) explode the text once and share it."""
+    bg = doc_bigrams if doc_bigrams is not None else _doc_bigrams(docs, text_col, id_col)
     bigrams = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
@@ -728,6 +888,7 @@ def lm_score(
     alpha: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a trained bigram LM: per-doc mean bigram
     log-probability and perplexity ``exp(-mean)``.
@@ -741,8 +902,10 @@ def lm_score(
     shuffle joins otherwise), cross-join the one-row vocab scalar
     (broadcast), aggregate per doc, then right-join onto the input so
     docs with <2 words keep a row (``lm_bigrams = 0``, null score).
-    Returns ``(id, lm_bigrams, lm_logprob, lm_ppl)``."""
-    bg = _doc_bigrams(docs, text_col, id_col)
+    Returns ``(id, lm_bigrams, lm_logprob, lm_ppl)``. *doc_bigrams*: see
+    :func:`bigram_lm` — share one exploded-bigram frame across train and
+    score when both run over the same corpus."""
+    bg = doc_bigrams if doc_bigrams is not None else _doc_bigrams(docs, text_col, id_col)
     scored = (
         bg.join(bigrams, ["w1", "w2"], "left")
         .join(unigrams, "w1", "left")
@@ -807,14 +970,17 @@ def dsir_select(
     never a global sort, never SinglePartition over the corpus. For k
     beyond driver comfort, swap the limit for a key-threshold filter
     calibrated from a sample quantile."""
+    # r6 perf: the raw corpus's exploded bigrams feed FOUR consumers (its
+    # LM's two count tables + both scoring passes) — explode once, cache
+    bg_r = _doc_bigrams(raw, text_col, id_col).cache()
     uni_t, bi_t, voc_t = bigram_lm(target, text_col, id_col, min_count)
-    uni_r, bi_r, voc_r = bigram_lm(raw, text_col, id_col, min_count)
-    st = lm_score(raw, uni_t, bi_t, voc_t, alpha, text_col, id_col).select(
+    uni_r, bi_r, voc_r = bigram_lm(raw, text_col, id_col, min_count, doc_bigrams=bg_r)
+    st = lm_score(raw, uni_t, bi_t, voc_t, alpha, text_col, id_col, doc_bigrams=bg_r).select(
         F.col(id_col),
         F.col("lm_bigrams").alias("_nb"),
         F.col("lm_logprob").alias("_lp_t"),
     )
-    sr = lm_score(raw, uni_r, bi_r, voc_r, alpha, text_col, id_col).select(
+    sr = lm_score(raw, uni_r, bi_r, voc_r, alpha, text_col, id_col, doc_bigrams=bg_r).select(
         F.col(id_col), F.col("lm_logprob").alias("_lp_r")
     )
     log_w = F.round(
@@ -838,6 +1004,17 @@ def dsir_select(
         )
         .orderBy(F.col("dsir_key").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _norm_fingerprint_blocks(norm_col: Column) -> Column:
+    """64-char blocks of an ALREADY-normalized, materialized text column
+    (r6: text_profile's one-pass shape — the free reference inside the
+    lambda is a plain attribute read, so no re-normalization per block;
+    same block values as :func:`_fingerprint_blocks`)."""
+    n_blocks = F.greatest(F.ceil(F.length(norm_col) / 64).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1), lambda i: F.substring(norm_col, i * 64 + 1, 64)
     )
 
 

@@ -191,12 +191,13 @@ def test_stratified_sample_has_no_single_partition_window(spark):
     assert p.count("Window") == 2, p  # phase-1 salted + phase-2 exact
 
 
-def test_repetition_metrics_shuffles_hashes_not_gram_text(spark):
-    """r4 guard: the Gopher repetition kernel must stay pure-JVM (no
-    Python nodes), never funnel to SinglePartition, and its first-stage
-    aggregate must key on the 24-byte (doc, n, xxhash64) struct fields —
-    exploded gram TEXT must die before the exchange (partial map-side
-    aggregation), or the shuffle volume becomes Σ n × corpus bytes."""
+def test_repetition_metrics_zero_shuffle_pure_jvm(spark):
+    """r6 guard (supersedes the r4 hash-shuffle guard): every repetition
+    signal is within-document, so the kernel must be a pure per-row
+    JVM projection — NO exchange of any kind (the r4 shape shuffled
+    Σ n × grams hash rows through two aggregations), no Python nodes,
+    no SinglePartition, and grams still keyed by xxhash64 chains (gram
+    TEXT is never materialized)."""
     from frontier_engine.textops import repetition_metrics
 
     docs = spark.range(5_000).select(
@@ -207,9 +208,8 @@ def test_repetition_metrics_shuffles_hashes_not_gram_text(spark):
     assert "SinglePartition" not in p, p
     assert "Python" not in p and "ArrowEval" not in p, p
     assert "xxhash64" in p, p
-    # two aggregation layers, each with a partial (map-side) half:
-    # (doc,n,h) count then per-doc metrics — 4 HashAggregate nodes
-    assert p.count("HashAggregate") == 4, p
+    assert "Exchange" not in p, p  # zero shuffles: strictly stronger
+    assert "HashAggregate" not in p, p
 
 
 def test_pii_clean_chain_pure_jvm_no_single_partition(spark):
