@@ -912,7 +912,13 @@ def q_seen_bloom(spark, sf_dir):
     from frontier_engine.canon import with_canon_columns
 
     fr = _frontier(spark, sf_dir)
-    cand = with_canon_columns(fr.select("url", "discovered_seq"))
+    # r6 perf: the canon'd frontier feeds FOUR subtrees (shard build,
+    # exact-table build, bloom probe, final anti-join) — checkpoint it
+    # once instead of re-running the canonicalizer expression chain in
+    # each (same rows, lineage truncation only)
+    cand = with_canon_columns(fr.select("url", "discovered_seq")).localCheckpoint(
+        eager=True
+    )
     first = cand.where(F.col("discovered_seq") % 2 == 0)
     shards, exact = S.update_seen(first, S.empty_shards(spark), S.empty_seen_exact(spark), 16, 1 << 18, 7)
     unseen = S.filter_unseen(cand, shards, exact, 16, 1 << 18, 7)

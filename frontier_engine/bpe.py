@@ -75,6 +75,50 @@ def _merge_pat(left: str, right: str) -> tuple[str, str]:
     return SOT + left + EOT + SOT + right + EOT, SOT + left + right + EOT
 
 
+# word-type tables at or under this row count train driver-side in one
+# collect (r6 perf): the 16-merge loop was 16 sequential Spark jobs whose
+# per-job fixed cost dwarfed the pair counting; locally it is a dict
+# sweep over the framed type strings — same argmax, same replace
+# semantics, byte-identical merges (twin-tested). Framed types average
+# well under 200 B, so the gate bounds the collect at ~100 MB — the same
+# bounded-driver-transfer class as BROADCAST_BITS_MAX_BYTES.
+LOCAL_TRAIN_MAX_TYPES = 500_000
+
+
+def _train_merges_local(
+    word_counts: list[tuple[str, int]], num_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Driver-side twin of the distributed merge loop: identical argmax
+    ((count DESC, left ASC, right ASC) — Python str comparison is
+    codepoint order, which equals the JVM's UTF-8 binary order by the
+    UTF-8 order-preservation property) and identical merge application
+    (str.replace and Java replace are both leftmost non-overlapping)."""
+    sep = EOT + SOT
+    words = word_counts
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        get = counts.get
+        for toks, cnt in words:
+            parts = toks[1:-1].split(sep)
+            if len(parts) < 2:
+                continue
+            prev = parts[0]
+            for cur in parts[1:]:
+                pair = (prev, cur)
+                counts[pair] = get(pair, 0) + cnt
+                prev = cur
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_count:
+            break
+        merges.append((l, r))
+        pat, rep = _merge_pat(l, r)
+        words = [(t.replace(pat, rep) if pat in t else t, n) for t, n in words]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 24,
@@ -92,7 +136,14 @@ def bpe_train(
     ``max_word_types`` caps that table by (count DESC, word ASC) —
     TakeOrderedAndProject, bounded driver memory, never a global sort —
     the standard practice of training the tokenizer on the head of the
-    type distribution."""
+    type distribution.
+
+    r6: when the type table is small (``LOCAL_TRAIN_MAX_TYPES``, the
+    common case — Heaps' law keeps types orders of magnitude under
+    corpus size) the merge loop runs driver-side over one collect of the
+    (framed type, count) rows instead of ``num_merges`` sequential Spark
+    jobs; :func:`_train_merges_local` is the byte-identical twin. Larger
+    vocabularies keep the distributed loop."""
     words = (
         docs.select(
             F.explode(
@@ -108,6 +159,14 @@ def bpe_train(
         eager=True
     )
     ckpt = words  # last CHECKPOINTED frame (the handle unpersist releases)
+
+    # r6 fast path: small type table → one collect, local merge loop
+    head = words.take(LOCAL_TRAIN_MAX_TYPES + 1)
+    if len(head) <= LOCAL_TRAIN_MAX_TYPES:
+        ckpt.unpersist()
+        return _train_merges_local(
+            [(r["toks"], int(r["cnt"])) for r in head], num_merges, min_count
+        )
 
     merges: list[tuple[str, str]] = []
     for k in range(num_merges):

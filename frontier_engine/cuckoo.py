@@ -194,7 +194,13 @@ def cuckoo_positive_hashes_broadcast(candidates, shards, n_shards: int, n_bucket
     from pyspark.sql import types as T
 
     spark = candidates.sparkSession
-    blobs = {int(r.shard_id): bytes(r.bits) for r in shards.collect() if r.bits is not None}
+    # Arrow transfer (r6 — see seen.bloom_positive_hashes_broadcast)
+    pdf_blobs = shards.toPandas()
+    blobs = {
+        int(s): bytes(b)
+        for s, b in zip(pdf_blobs["shard_id"], pdf_blobs["bits"])
+        if b is not None
+    }
     bc = spark.sparkContext.broadcast(blobs)
 
     def check(batches):

@@ -144,10 +144,14 @@ def bloom_positive_hashes_broadcast(
     spark = candidates.sparkSession
     shard_bytes = n_bits // 8
     big = np.zeros(n_shards * shard_bytes, dtype=np.uint8)
-    for r in shards.collect():
-        if r.bits is not None:
-            big[r.shard_id * shard_bytes:(r.shard_id + 1) * shard_bytes] = np.frombuffer(
-                bytes(r.bits), dtype=np.uint8
+    # r6 perf: Arrow transfer for the blobs — .collect() rows moved the
+    # multi-MB bit arrays through py4j's pickled-row path (measured ~10x
+    # slower for a 64 MB shard set; guide §6 "Arrow for driver transfers")
+    blobs = shards.toPandas()
+    for sid, blob in zip(blobs["shard_id"], blobs["bits"]):
+        if blob is not None:
+            big[sid * shard_bytes:(sid + 1) * shard_bytes] = np.frombuffer(
+                blob, dtype=np.uint8
             )
     bc = spark.sparkContext.broadcast(big)
 

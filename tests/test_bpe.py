@@ -105,6 +105,17 @@ def test_train_matches_twin(merges):
     assert len(merges) > 4  # corpus is mergeable; training actually ran
 
 
+def test_local_and_distributed_training_identical(docs, merges, monkeypatch):
+    """r6: the driver-side fast path (one collect + local merge loop) must
+    produce byte-identical merges to the distributed per-round loop —
+    force the distributed path by zeroing the gate and compare."""
+    import frontier_engine.bpe as B
+
+    monkeypatch.setattr(B, "LOCAL_TRAIN_MAX_TYPES", 0)
+    distributed = B.bpe_train(docs, num_merges=16)
+    assert distributed == merges
+
+
 def test_min_count_early_stop(spark):
     # every pair unique → best count 1 < min_count → zero merges
     d = spark.createDataFrame([(0, "abcdefg")], "doc_id long, text string")
