@@ -101,6 +101,12 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"])
 
 
+# canonical edge sets at or under this size label driver-side via
+# union-find (one collect, bounded at ~16 MB of (u, v) longs) instead of
+# the O(log n) star-contraction rounds — see connected_components
+LOCAL_CC_MAX_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -142,6 +148,38 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             [], "id long, component long"
         )
+
+    # r6 fast path: a bounded edge set closes driver-side in one collect —
+    # union-find produces the IDENTICAL (id, component=min id) labeling
+    # (pure integer graph semantics), and the large/small-star loop's
+    # ~2 jobs per round (checkpoint + convergence checksum) dwarfed the
+    # actual work for the near-dup graphs a clean corpus yields. The edge
+    # count is already known from the checksum row; the distributed loop
+    # remains the path for graphs past the gate.
+    if prev_sum[0] <= LOCAL_CC_MAX_EDGES:
+        rows = cur.collect()
+        cur.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ra, rb = find(int(r["u"])), find(int(r["v"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for x in list(parent):
+            root = find(x)
+            if comp_min.get(root, x) >= x:
+                comp_min[root] = x
+        out = [(x, comp_min[find(x)]) for x in parent]
+        return edges.sparkSession.createDataFrame(out, "id long, component long")
 
     converged = False
     try:

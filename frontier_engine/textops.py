@@ -1071,10 +1071,16 @@ def duplicate_spans(
     all-pairs. Docs shorter than *n* words have no spans and drop out.
 
     Returns (doc_id, n_spans, n_dup_spans, dup_ratio).
-    """
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
+
+    r6 perf: spans are keyed by the word-hash-chain form
+    (:func:`shingle_hash_rows`) instead of hashing materialized span
+    strings — per-doc distinct and cross-doc frequency semantics are
+    unchanged (both were already 64-bit-hash keyed; only the hash family
+    differs), and the ~n·wordlen bytes of string build per span drop to
+    an n-long xxhash64."""
+    sh = shingle_hash_rows(docs, text_col, id_col, n).select(
+        F.col(id_col), F.col("sh_h").alias("gh")
+    )
     # word_shingles is per-doc distinct, so count(*) == count(distinct doc)
     counts = sh.groupBy("gh").agg(F.count("*").alias("nd"))
     return (
@@ -1115,13 +1121,17 @@ def decontaminate(
     broadcasts (*broadcast_benchmark*, the GPT-3 case: benchmarks are
     MBs, corpora TBs) so the corpus side joins WITHOUT a shuffle; flags
     then aggregate per doc. Clean docs keep a row via the final
-    left join (contaminated_ngrams = 0)."""
-    dg = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    ).select(id_col, F.xxhash64("g").alias("_h"))
+    left join (contaminated_ngrams = 0).
+
+    r6 perf: both sides key on the word-hash-chain form
+    (:func:`shingle_hash_rows`) — the n-gram string is never built
+    (see duplicate_spans; same overlap semantics, same 64-bit keying)."""
+    dg = shingle_hash_rows(docs, text_col, id_col, n).select(
+        F.col(id_col), F.col("sh_h").alias("_h")
+    )
     bg = (
-        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
-        .select(F.xxhash64("g").alias("_h"))
+        shingle_hash_rows(benchmark, text_col, id_col, n)
+        .select(F.col("sh_h").alias("_h"))
         .distinct()
     )
     if broadcast_benchmark:

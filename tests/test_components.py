@@ -77,6 +77,19 @@ def test_cc_random_graphs_match_union_find(spark):
         assert got_keys <= set(want)
 
 
+def test_cc_local_and_distributed_paths_identical(spark, monkeypatch):
+    """r6: the driver-side union-find fast path and the star-contraction
+    loop must label identically — force the distributed loop by zeroing
+    the gate and compare on a mixed graph."""
+    import frontier_engine.components as C
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (7, 7), (5, 4), (20, 3)]
+    local = _cc_dict(spark, edges)
+    monkeypatch.setattr(C, "LOCAL_CC_MAX_EDGES", 0)
+    dist = _cc_dict(spark, edges)
+    assert local == dist
+
+
 def test_cc_path_graph_converges_in_log_rounds(spark):
     # a 64-node path needs O(log n) large/small-star rounds; naive label
     # propagation would need ~64. max_rounds=10 proves the log behavior.
