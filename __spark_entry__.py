@@ -182,7 +182,9 @@ def q_robots_filter(spark, sf_dir):
     from frontier_engine.config import EngineConfig
     from frontier_engine.robots import rules_from_pages, split_allowed
 
-    fr = _frontier(spark, sf_dir).withColumn(
+    # r6 perf: orders scans as ONE partition (guide 2.5) — spread before
+    # the per-row URL/path build and the broadcast rule match
+    fr = _spread(_frontier(spark, sf_dir), "url").withColumn(
         "path",
         F.when(F.col("discovered_seq") % 3 == 0, F.concat(F.lit("/api/v3/PdpReviews/"), F.col("discovered_seq")))
         .when(F.col("discovered_seq") % 3 == 1, F.concat(F.lit("/api/v3/Pdp/"), F.col("discovered_seq")))
@@ -291,7 +293,7 @@ def q_trap_filter(spark, sf_dir):
     so the hash pins exactly WHICH URLs survived, not just how many."""
     from frontier_engine.traps import cap_per_template, template_report, url_template
 
-    fr = _frontier(spark, sf_dir)
+    fr = _spread(_frontier(spark, sf_dir), "url")  # guide 2.5 (see robots)
     trap = fr.select(
         "host",
         F.concat(
@@ -916,9 +918,9 @@ def q_seen_bloom(spark, sf_dir):
     # exact-table build, bloom probe, final anti-join) — checkpoint it
     # once instead of re-running the canonicalizer expression chain in
     # each (same rows, lineage truncation only)
-    cand = with_canon_columns(fr.select("url", "discovered_seq")).localCheckpoint(
-        eager=True
-    )
+    cand = with_canon_columns(
+        _spread(fr.select("url", "discovered_seq"), "url")
+    ).localCheckpoint(eager=True)
     first = cand.where(F.col("discovered_seq") % 2 == 0)
     shards, exact = S.update_seen(first, S.empty_shards(spark), S.empty_seen_exact(spark), 16, 1 << 18, 7)
     unseen = S.filter_unseen(cand, shards, exact, 16, 1 << 18, 7)
