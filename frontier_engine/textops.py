@@ -126,6 +126,30 @@ def shingle_hash_rows(
     )
 
 
+def shingle_hash_array(col: Column, n: int = 3) -> Column:
+    """array<bigint> of DISTINCT word-n-gram chain hashes of the
+    normalized text — the per-row array form of :func:`shingle_hash_rows`
+    (same hashes: per-word xxhash64, then xxhash64 over each window of n
+    word hashes; the gram string is never built). Set cardinalities over
+    these arrays equal the string-set cardinalities modulo 64-bit
+    collisions — the same keying class every hash-verify in this module
+    already accepts. Word-hash array is lambda-bound (see word_shingles)
+    so it evaluates once per row."""
+
+    def grams_of(wh: Column) -> Column:
+        k = F.size(wh) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.xxhash64(*[F.get(wh, i + j) for j in range(n)]),
+        )
+        empty = F.array().cast("array<bigint>")
+        return F.array_distinct(F.when(k > 0, grams).otherwise(empty))
+
+    words = F.split(normalized_text(col), " ")
+    wh_arr = F.transform(words, lambda w: F.xxhash64(w))
+    return F.get(F.transform(F.array(wh_arr), grams_of), 0)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
@@ -187,8 +211,23 @@ def jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.8,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle Jaccard ≥ threshold."""
-    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    """Verify candidate pairs with exact shingle Jaccard ≥ threshold.
+
+    r6 perf: shingle sets are computed ONLY for docs that appear in a
+    candidate pair (semi-join prefilter — the old shape shingled the
+    whole corpus and let the join discard the rest), as hash-chain
+    arrays rather than gram strings (:func:`shingle_hash_array`: same
+    set cardinalities, so the same jaccard values, no string builds).
+    *pairs* is cached — it feeds the prefilter and the verify join."""
+    pairs = pairs.cache()
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(ids, id_col, "left_semi").select(
+        F.col(id_col), shingle_hash_array(F.col(text_col), shingle_n).alias("sh")
+    )
     out = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -270,6 +309,9 @@ def minhash_dedup_join(
     disjoint across the two tables (asserted nowhere — caller contract,
     same as MERGE keys)."""
     rows_per_band = num_hashes // bands
+    # r6: an AQE-coalesced (or one-file) batch would shingle on a couple
+    # of cores (guide §2.5); no-op when the batch is already parallel
+    new_docs = spread_small_scan(new_docs, id_col)
     new_b = _band_buckets(
         minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
         id_col, bands, rows_per_band,
@@ -279,16 +321,29 @@ def minhash_dedup_join(
         if corpus_bands is not None
         else corpus_band_table(corpus, text_col, id_col, num_hashes, bands, shingle_n)
     )
+    # r6: the candidate set feeds both semi-prefilters AND the verify
+    # join — checkpoint it once (eager, bounded by the collision count)
+    # so the band-join subtree is neither re-planned nor re-executed per
+    # consumer
     cands = (
         new_b.alias("a").join(old_b.alias("b"), ["band", "bucket"])
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    sh_new = new_docs.select(
-        F.col(id_col).alias("id_a"), word_shingles(F.col(text_col), shingle_n).alias("sh_a")
+    # r6 perf: shingle only the rows that actually collided (the claim
+    # the docstring always made — the old plan shingled both full tables
+    # and let the join discard), and as hash-chain arrays, no gram
+    # strings (see jaccard_pairs)
+    sh_new = new_docs.join(
+        cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("id_a"), shingle_hash_array(F.col(text_col), shingle_n).alias("sh_a")
     )
-    sh_old = corpus.select(
-        F.col(id_col).alias("id_b"), word_shingles(F.col(text_col), shingle_n).alias("sh_b")
+    sh_old = corpus.join(
+        cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("id_b"), shingle_hash_array(F.col(text_col), shingle_n).alias("sh_b")
     )
     return (
         cands.join(sh_new, "id_a").join(sh_old, "id_b")

@@ -187,11 +187,13 @@ def test_minhash_dedup_join_precomputed_corpus_bands(spark, tmp_path):
     leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
     scans = [str(leaves.apply(i)) for i in range(leaves.size())]
     parquet = [s for s in scans if "parquet" in s]
-    # exactly TWO parquet relations: the bands table (band/bucket schema)
-    # and ONE scan of the corpus docs (text schema — the exact verify).
-    # A recomputed band side would scan the docs parquet a second time.
-    assert len(parquet) == 2, scans
-    assert sum("band#" in s for s in parquet) == 1, scans
+    # r6 shape: the candidate set (batch bands ⋈ persisted bands table)
+    # is checkpointed at build — the bands parquet was read exactly once
+    # there — so the returned plan holds ONE parquet relation: a single
+    # scan of the corpus docs (text schema — the semi-filtered exact
+    # verify). A recomputed band side would surface the docs parquet a
+    # second time.
+    assert len(parquet) == 1, scans
     assert sum("text#" in s for s in parquet) == 1, scans
 
     got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
