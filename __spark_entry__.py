@@ -1224,15 +1224,22 @@ def q_pack_sequences(spark, sf_dir):
     cumsum (driver sees n_parts totals, never rows; no SinglePartition
     exchange, plan-guarded) must produce identical assignments at any
     parallelism."""
-    from frontier_engine.bpe import bpe_train
-    from frontier_engine.textops import pack_sequences
+    from frontier_engine.bpe import bpe_token_count_col, bpe_train
+    from frontier_engine.textops import pack_sequences_multi
 
     d = _spread(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     merges = bpe_train(d, num_merges=_BPE_NUM_MERGES, min_count=2)
-    ws = pack_sequences(d, seq_len=64)
-    bpe = pack_sequences(d, seq_len=64, tokenizer="bpe", bpe_merges=merges)
-    return ws.withColumn("method", F.lit("ws")).unionByName(
-        bpe.withColumn("method", F.lit("bpe"))
+    # r6 perf: both tokenizations pack over ONE range partitioning
+    # (pack_sequences_multi — per-method rows identical to two
+    # pack_sequences calls; the sampling/persist/totals-collect jobs are
+    # paid once)
+    return pack_sequences_multi(
+        d,
+        seq_len=64,
+        counts={
+            "ws": F.size(F.split(F.col("text"), r"\s+")).cast("long"),
+            "bpe": bpe_token_count_col(F.col("text"), merges),
+        },
     )
 
 

@@ -1452,6 +1452,96 @@ def pack_sequences_counted(
     return out, ranged
 
 
+def pack_sequences_multi(
+    docs: DataFrame,
+    seq_len: int,
+    counts: dict[str, Column],
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Pack SEVERAL tokenizations over ONE range partitioning (r6 perf):
+    per-method output rows are identical to running
+    :func:`pack_sequences` once per method — the global cumsum depends
+    only on id order and the counts (zero-count rows add nothing to the
+    prefix sums and are filtered per method before the span explode,
+    exactly as the single-method form filters them up front; range
+    boundaries only place rows, never change offsets) — but the range
+    sampling job, the persisted layout, and the per-partition-totals
+    collect are paid once instead of once per method. *counts* maps
+    method name → token-count Column; output adds a ``method`` tag.
+    Result is eagerly localCheckpoint'ed (same re-sampling caveat as
+    :func:`pack_sequences`)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        docs.select(
+            F.col(id_col),
+            *[c.cast("long").alias(f"_t_{m}") for m, c in counts.items()],
+        )
+        .repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    tot = ranged.groupBy("_pid").agg(
+        *[F.sum(f"_t_{m}").alias(m) for m in counts]
+    ).collect()
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    s = F.lit(int(seq_len)).cast("long")
+    out = None
+    for m in counts:
+        part_tot = {r["_pid"]: r[m] for r in tot}
+        offs, acc = {}, 0
+        for pid in sorted(part_tot):
+            offs[pid] = acc
+            acc += int(part_tot[pid] or 0)
+        if offs:
+            kv = []
+            for pid, off in offs.items():
+                kv += [F.lit(int(pid)), F.lit(int(off))]
+            off_expr = F.coalesce(
+                F.try_element_at(F.create_map(*kv), F.col("_pid")), F.lit(0)
+            ).cast("long")
+        else:
+            off_expr = F.lit(0).cast("long")
+        tcol = F.col(f"_t_{m}")
+        cum = (
+            ranged.withColumn("_end", F.sum(f"_t_{m}").over(w))
+            .withColumn("_start", off_expr + F.col("_end") - tcol)
+            .where(tcol > 0)
+        )
+        part = cum.select(
+            F.col(id_col),
+            "_start",
+            tcol.alias("_toks"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / s),
+                    F.floor((F.col("_start") + tcol - F.lit(1)) / s),
+                )
+            ).alias("seq_id"),
+        ).select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col(id_col),
+            F.greatest(F.lit(0).cast("long"), F.col("seq_id") * s - F.col("_start"))
+            .cast("long")
+            .alias("tok_start"),
+            (
+                F.least((F.col("seq_id") + 1) * s, F.col("_start") + F.col("_toks"))
+                - F.greatest(F.col("seq_id") * s, F.col("_start"))
+            )
+            .cast("long")
+            .alias("n_toks"),
+            F.lit(m).alias("method"),
+        )
+        out = part if out is None else out.unionByName(part)
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,
