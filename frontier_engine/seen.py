@@ -122,10 +122,17 @@ def bloom_positive_hashes(
     )
 
 
-# broadcast the bloom bits when they fit comfortably on executors;
-# beyond this the cogrouped shard path takes over (10^10-scale: ~12.5 GB
-# of bits ⇒ cogroup; ≤10^9-frontier: broadcast wins — no shuffle at all)
-BROADCAST_BITS_MAX_BYTES = 256 * 1024 * 1024
+# broadcast the bloom bits only while they are SMALL: every
+# filter_unseen call rebuilds the broadcast (O(bits) Arrow collect to
+# the driver + O(bits) broadcast back out), while the cogrouped path
+# pays one shuffle of the 8-byte probe hashes plus one pass over the
+# blobs. r6, measured on the bench workload: at 64 MB of bits / 1M
+# probes the cogroup probe runs ~2x faster end to end (0.6-0.9 s vs
+# 1.2-3.3 s incl. the rebuild); at 512 KB of bits the broadcast wins
+# (0.3-0.4 s vs 0.4-1.0 s). 8 MB sits a safe margin below the measured
+# crossover, and the 10^10 design point (~12.5 GB of bits) was always
+# cogroup territory.
+BROADCAST_BITS_MAX_BYTES = 8 * 1024 * 1024
 
 
 def bloom_positive_hashes_broadcast(
