@@ -304,7 +304,11 @@ def q_trap_filter(spark, sf_dir):
         ).alias("url"),
         "discovered_seq",
     )
-    cand = fr.select("host", "url", "discovered_seq").unionByName(trap)
+    # r6 perf: cand feeds BOTH the admission cap and the report —
+    # checkpoint once instead of re-running the frontier+trap synthesis
+    cand = fr.select("host", "url", "discovered_seq").unionByName(trap).localCheckpoint(
+        eager=True
+    )
     kept = cap_per_template(cand, cap=25, order_cols=["discovered_seq"])
     kept_agg = (
         kept.withColumn("template", url_template(F.col("url")))

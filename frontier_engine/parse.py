@@ -758,13 +758,15 @@ def parse_pdp(df: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
 
 
 def _pdp_pre(df: DataFrame) -> DataFrame:
-    """PDP extraction stage: the single from_json tokenization."""
-    return df.select(
+    """PDP extraction stage: the single from_json tokenization, reduced
+    all the way to the FLAT pdp_rows projection (r6 perf: the persisted
+    unit used to be the full nested `_r` struct — columnar-caching the
+    whole parsed tree cost far more than the ~22 scalar output fields,
+    and both consumers (rows sink, reviews candidate) only ever read
+    these fields)."""
+    parsed = df.select(
         "url", "host", F.from_json(F.col("text"), PDP_SCHEMA).alias("_r")
     )
-
-
-def _pdp_outputs(parsed: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
     pdp = F.col("_r")["data"]["merlin"]["pdpSections"]
     sections = pdp["sections"]
 
@@ -794,7 +796,7 @@ def _pdp_outputs(parsed: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataF
         F.filter(host_profile["hostInfos"], lambda i: i["title"] == F.lit("During your stay")), F.lit(1)
     )["html"]["htmlText"]
 
-    rows = parsed.select(
+    return parsed.select(
         F.col("url").alias("page_url"),
         F.col("host"),
         pdp["id"].alias("listing_id"),
@@ -819,6 +821,10 @@ def _pdp_outputs(parsed: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataF
         F.concat(F.lit("https://www.airbnb.com/rooms/"), pdp["id"]).alias("listing_url"),
     )
 
+
+def _pdp_outputs(rows: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+    """(pdp_rows, first-reviews candidate) from the flat `_pdp_pre`
+    frame — rows pass through; the candidate projects three fields."""
     # reviews candidate: the reference fetches reviews synchronously at PDP
     # time starting at offset 0 (PdpPlatformSections.py:161); the engine
     # schedules the first reviews page as a depth-3 frontier candidate
