@@ -607,7 +607,7 @@ def q_ann_topk(spark, sf_dir):
     near-neighbor universe and must equal the exact brute force the
     oracle computes — the union makes each method's equality a separate
     set of hash-checked rows (see q_text_metrics for why consolidated)."""
-    from frontier_engine.similarity import ivf_topk, lsh_topk
+    from frontier_engine.similarity import brute_force_topk, ivf_topk, lsh_topk
 
     # r6 perf: build the planted-neighbor universe ONCE (the old shape
     # re-derived it per leg — two first() jobs + the mixture expression
@@ -615,9 +615,14 @@ def q_ann_topk(spark, sf_dir):
     # it, so the ~7 driver actions underneath (kmeans init + iterations,
     # probes, final union) plan against a trivial scan. Same rows, same
     # values — the checkpoint only truncates lineage inside this query.
+    # The brute leg reuses the already-collected query vector as a
+    # literal (bit-identical cosine: the literal doubles ARE the cast
+    # values the broadcast qvec column held, and norm(q) constant-folds)
+    # instead of a crossJoin broadcast build.
     uni, qv = _ann_universe(spark, sf_dir)
     uni = uni.localCheckpoint(eager=True)
-    brute = q_ann_brute_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
+    e = _t(spark, sf_dir, "embeddings")
+    brute = brute_force_topk(e, qv, k=10).withColumn("method", F.lit("brute"))
     lsh = lsh_topk(uni, qv, k=10, probe_hamming=2).withColumn("method", F.lit("lsh"))
     ivf = ivf_topk(uni, qv, k=10, n_lists=16, n_probe=4).withColumn("method", F.lit("ivf"))
     return brute.unionByName(lsh).unionByName(ivf)
