@@ -619,7 +619,7 @@ def q_ann_topk(spark, sf_dir):
     # literal (bit-identical cosine: the literal doubles ARE the cast
     # values the broadcast qvec column held, and norm(q) constant-folds)
     # instead of a crossJoin broadcast build.
-    uni, qv = _ann_universe(spark, sf_dir)
+    uni, _mix, qv = _ann_universe(spark, sf_dir)
     uni = uni.localCheckpoint(eager=True)
     e = _t(spark, sf_dir, "embeddings")
     brute = brute_force_topk(e, qv, k=10).withColumn("method", F.lit("brute"))
@@ -946,13 +946,18 @@ def q_lsh_ann(spark, sf_dir):
     is verified end-to-end."""
     from frontier_engine.similarity import lsh_topk
 
-    uni, qv = _ann_universe(spark, sf_dir)
+    uni, _mix, qv = _ann_universe(spark, sf_dir)
     return lsh_topk(uni, qv, k=10, probe_hamming=2)
 
 
 def _ann_universe(spark, sf_dir):
     """Corpus + ten planted near neighbors of v0 (0.95·v0 + 0.05·vi) —
-    the SQL-derivable evaluation set shared by lsh_ann / ivf_ann."""
+    the SQL-derivable evaluation set shared by lsh_ann / ivf_ann.
+    Returns ``(universe, mixtures, qv)`` — the mixtures frame is exposed
+    so batch-query consumers can use the planted set DIRECTLY (r6: the
+    old ``vec_id >= 100000`` re-filter of the union only equals the
+    oracle's planted set while natural ids stay under the offset — a
+    latent mismatch at very large generated scale factors)."""
     from frontier_engine.similarity import _as_double
 
     e = _t(spark, sf_dir, "embeddings")
@@ -967,7 +972,7 @@ def _ann_universe(spark, sf_dir):
         )
     )
     uni = e.select("vec_id", _as_double(F.col("embedding")).alias("embedding"), "label").unionByName(mixtures)
-    return _spread(uni, "vec_id"), qv
+    return _spread(uni, "vec_id"), mixtures, qv
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -977,7 +982,7 @@ def q_ivf_ann(spark, sf_dir):
     as lsh_ann)."""
     from frontier_engine.similarity import ivf_topk
 
-    uni, qv = _ann_universe(spark, sf_dir)
+    uni, _mix, qv = _ann_universe(spark, sf_dir)
     return ivf_topk(uni, qv, k=10, n_lists=16, n_probe=4)
 
 
@@ -995,9 +1000,13 @@ def q_ivf_topk_join(spark, sf_dir):
 
     # r6 perf: localCheckpoint the universe so the kmeans jobs and the
     # probe/join job plan against a trivial scan (see q_ann_topk)
-    uni, _qv = _ann_universe(spark, sf_dir)
+    uni, mixtures, _qv = _ann_universe(spark, sf_dir)
     uni = uni.localCheckpoint(eager=True)
-    queries_df = uni.where(F.col("vec_id") >= 100000).select(
+    # r6: the query TABLE is the planted-mixture frame itself — exactly
+    # the oracle's qt set at ANY scale factor (the old >= 100000
+    # re-filter of the union would also catch natural high ids once the
+    # generated corpus outgrows the planted-offset sentinel)
+    queries_df = mixtures.select(
         (F.col("vec_id") - 100000).alias("query_id"), F.col("embedding")
     )
     return ivf_topk_join(queries_df, uni, k=5, n_lists=16, n_probe=4).select(
