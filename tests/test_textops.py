@@ -541,3 +541,84 @@ def test_pack_sequences_invariants(spark, clean_docs):
     packed1 = X.pack_sequences(clean_docs.repartition(1), seq_len=S, n_parts=1).collect()
     key = lambda r: (r.seq_id, r.doc_id, r.tok_start, r.n_toks)
     assert sorted(map(key, packed)) == sorted(map(key, packed1))
+
+
+def test_text_profile_equals_joined_per_row_ops(spark):
+    """r6: the one-pass text_profile must equal the four per-row
+    operators joined on doc_id, column for column, value for value."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = {r["doc_id"]: r.asDict() for r in X.text_profile(d).collect()}
+    joined = (
+        X.lang_id(d)
+        .join(X.quality_score(d), "doc_id")
+        .join(X.token_counts(d), "doc_id")
+        .join(X.doc_fingerprint_md5(d), "doc_id")
+    )
+    want = {r["doc_id"]: r.asDict() for r in joined.collect()}
+    assert set(prof) == set(want)
+    for k, row in want.items():
+        for c, v in row.items():
+            assert prof[k][c] == v, (k, c, prof[k][c], v)
+    # same columns in the same order as the old join chain
+    assert X.text_profile(d).columns == joined.columns
+
+
+def test_pack_sequences_multi_equals_per_method_runs(spark):
+    """r6: one range partitioning for N tokenizations must reproduce the
+    single-method pack_sequences rows exactly, per method."""
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string"),
+                 F.lit(" alpha beta gamma delta")).alias("text"),
+    )
+    counts = {
+        "ws": F.size(F.split(F.col("text"), r"\s+")).cast("long"),
+        "chars": (F.length("text") % 7).cast("long"),  # exercises zero counts
+    }
+    multi = X.pack_sequences_multi(docs, seq_len=8, counts=counts)
+    key = lambda r: (r["seq_id"], r["doc_id"], r["tok_start"], r["n_toks"])
+    for m, c in counts.items():
+        got = sorted(map(key, multi.where(F.col("method") == m).collect()))
+        # single-method reference: rerun pack_sequences_multi with ONE
+        # method — an independent range sampling over the same ids and
+        # counts must yield identical assignments (offsets depend only on
+        # id order and counts, never on partition boundaries)
+        solo = X.pack_sequences_multi(docs, seq_len=8, counts={m: c})
+        want = sorted(map(key, solo.collect()))
+        assert got == want, m
+    # and the ws leg equals the real single-method pack_sequences
+    ws_rows = sorted(map(key, multi.where(F.col("method") == "ws").collect()))
+    ws_single = sorted(
+        map(key, X.pack_sequences(docs, seq_len=8, tokenizer="ws").collect())
+    )
+    assert ws_rows == ws_single
+
+
+def test_shingle_hash_array_matches_shingle_hash_rows(spark):
+    """r6: the per-row array form must carry exactly the distinct chain
+    hashes shingle_hash_rows explodes (the verify legs join on them)."""
+    d = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "x y"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = {}
+    for r in X.shingle_hash_rows(d, n=3).collect():
+        rows.setdefault(r["doc_id"], set()).add(r["sh_h"])
+    arrs = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select("doc_id", X.shingle_hash_array(F.col("text"), 3).alias("sh")).collect()
+    }
+    for k in arrs:
+        assert arrs[k] == rows.get(k, set()), k
+
+
+def test_spread_small_scan_guard(spark):
+    """r6: spreads a 1-partition frame to defaultParallelism; no-op when
+    the input already has at least that many partitions."""
+    one = spark.range(100).coalesce(1)
+    spread = X.spread_small_scan(one.select(F.col("id").alias("doc_id")), "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 3)
+    assert X.spread_small_scan(wide).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism + 3
+    )
